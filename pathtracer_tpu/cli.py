@@ -1,0 +1,103 @@
+"""Command-line renderer.
+
+Replaces the reference's browser shell + hardcoded scene path
+(``src/index.ts:15-24`` — a commented-in/out path list) with a real CLI:
+
+    python -m pathtracer_tpu.cli scene_files/final/cornell_box_full_lighting.ini \
+        --scene-root /root/reference --out out.png
+
+The INI's ``output`` path is honored (the reference parses it at
+``parse-ini.ts:39`` but never writes a file).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="TPU-native path tracer")
+    p.add_argument("ini", help="render config (.ini)")
+    p.add_argument("--scene-root", default=None, help="root for /scene_assets refs")
+    p.add_argument("--out", default=None, help="output PNG (default: INI output)")
+    p.add_argument("--spp", type=int, default=None, help="override samplesPerPixel")
+    p.add_argument("--size", type=int, default=None, help="override square resolution")
+    p.add_argument(
+        "--intersector",
+        default="auto",
+        choices=("auto", "brute", "bvh", "pallas"),
+    )
+    p.add_argument("--tonemap", default="reference")
+    p.add_argument("--sharded", action="store_true", help="shard over all devices")
+    p.add_argument(
+        "--light-sampling",
+        default="compat",
+        choices=("compat", "area"),
+        help="compat = reference's count-based light pdf; area = corrected",
+    )
+    args = p.parse_args(argv)
+
+    from pathtracer_tpu.models.scene import load_scene
+    from pathtracer_tpu.utils.image import write_png
+
+    overrides = dict(intersector=args.intersector)
+    if args.spp is not None:
+        overrides["samples_per_pixel"] = args.spp
+    if args.size is not None:
+        overrides["width"] = args.size
+        overrides["height"] = args.size
+    if args.light_sampling == "area":
+        overrides["compat_count_light_pdf"] = False
+
+    scene, camera, settings, ini = load_scene(
+        args.ini, scene_root=args.scene_root, **overrides
+    )
+    print(
+        f"scene: {ini.scene} | {scene.num_tris} tris "
+        f"({scene.padded_tris} padded), {scene.num_analytic} analytic prims, "
+        f"BVH depth {scene.bvh_depth}"
+    )
+    print(
+        f"render: {settings.width}x{settings.height} @ "
+        f"{settings.samples_per_pixel} spp, rr={settings.rr_prob}, "
+        f"direct_only={settings.direct_lighting_only}"
+    )
+
+    def progress(done, total):
+        if done % max(1, total // 10) == 0 or done == total:
+            print(f"  sample {done}/{total}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    if args.sharded:
+        import jax
+
+        from pathtracer_tpu.ops.tonemap import TONEMAPS
+        from pathtracer_tpu.parallel.render import render_sharded
+
+        mean = render_sharded(scene, camera, settings, progress_callback=progress)
+        img = jax.device_get(TONEMAPS[args.tonemap](mean))
+    else:
+        from pathtracer_tpu.render import render_image
+
+        img = render_image(
+            scene, camera, settings, tonemap=args.tonemap, progress_callback=progress
+        )
+    dt = time.perf_counter() - t0
+
+    n_rays = settings.width * settings.height * settings.samples_per_pixel
+    print(f"rendered in {dt:.2f}s ({n_rays / dt / 1e6:.2f} Mpaths/s)")
+
+    out = args.out or ini.output or "render.png"
+    out_dir = os.path.dirname(out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    write_png(out, img)
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,206 @@
+"""Wavefront path-tracing integrator.
+
+TPU-native re-design of the reference megakernel ``radiance``
+(``src/program-raymarch.wgsl:104-303``). The reference runs one divergent
+``while(depth <= 16)`` loop per pixel-thread; here a flat SoA batch of rays
+advances through a bounded ``lax.scan`` over bounces with *masked lanes*:
+dead rays keep their state and contribute nothing, every lane executes every
+lobe, and ``jnp.where`` selects — zero divergence on the 8x128 VPU.
+
+Per bounce (mirroring the reference's order of operations exactly):
+  1. closest-hit intersect            (intersection-logic.wgsl:1-215)
+  2. emissive add at depth 0 / after specular, then terminate  (:136-141)
+  3. NEE: sample area light, shadow intersect, add contribution (:146-187)
+  4. ``directLightingOnly`` break when the shadow ray hit       (:184-186)
+  5. Russian roulette                                            (:190-193)
+  6. BSDF select + sample: dielectric / mirror / glossy / diffuse (:199-297)
+
+The scan is wrapped in ``jax.checkpoint`` so reverse-mode AD re-plays each
+bounce from its carry instead of storing every intermediate — this *is*
+path-replay backpropagation: the RNG is counter-based (ops.rng) so the
+replayed bounce regenerates the identical sample decisions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.ops import rng
+from pathtracer_tpu.ops.bsdf import (
+    dielectric_directions,
+    eval_phong,
+    eval_phong_bounce,
+    reflect,
+    sample_cosine_hemisphere,
+)
+from pathtracer_tpu.ops.intersect import intersect
+from pathtracer_tpu.ops.lights import sample_area_lights
+
+PI = jnp.pi
+NEE_OFFSET = 1.0e-4  # program-raymarch.wgsl:146
+RAY_OFFSET = 1.0e-3  # ray_with_epsilon, data-structs.wgsl:58-60
+
+
+def _gather_material(scene, mat_id):
+    return {
+        "Ns": scene.mat_Ns[mat_id],
+        "Ni": scene.mat_Ni[mat_id],
+        "illum": scene.mat_illum[mat_id],
+        "Kd": scene.mat_Kd[mat_id],
+        "Ks": scene.mat_Ks[mat_id],
+        "Ke": scene.mat_Ke[mat_id],
+    }
+
+
+def _nee(scene, settings, hit, mat, d, beta, u, active):
+    """Next-event estimation; returns (contribution [B, 3], shadow_hit [B])."""
+    n = hit.normal
+    offset_pt = hit.point + n * NEE_OFFSET
+
+    contrib = jnp.zeros_like(beta)
+    shadow_any = jnp.zeros(beta.shape[0], dtype=bool)
+    for s in range(settings.num_direct_lighting_samples):
+        # Extra light samples draw from purpose slots past STRIDE (the
+        # reference parses numDirectLightingSamples but always takes one;
+        # honored here per SURVEY.md's deviation list).
+        i_choice = rng.LIGHT_CHOICE if s == 0 else rng.STRIDE + 3 * (s - 1)
+        i_bary = rng.LIGHT_BARY if s == 0 else i_choice + 1
+        ldir, weight = sample_area_lights(
+            scene,
+            offset_pt,
+            u[:, i_choice],
+            u[:, i_bary],
+            u[:, i_bary + 1],
+            settings.compat_count_light_pdf,
+        )
+        shadow = intersect(scene, offset_pt, ldir, settings)
+        s_mat_ke = scene.mat_Ke[shadow.mat_id]
+        s_emissive = shadow.hit & (jnp.sum(s_mat_ke, axis=-1) > 0.0)
+
+        d2 = jnp.sum((hit.point - shadow.point) ** 2, axis=-1)
+        if settings.compat_count_light_pdf:
+            # Reference quirk: Phong NEE brdf keyed on Ns == 40 exactly
+            # (program-raymarch.wgsl:160).
+            phong_lane = mat["Ns"] == 40.0
+        else:
+            phong_lane = jnp.sum(mat["Ks"], axis=-1) > 0.0
+        brdf_phong = eval_phong(mat["Ks"], mat["Ns"], d, ldir, n, mat["Kd"])
+        brdf_diff = mat["Kd"] / PI
+        brdf = jnp.where(phong_lane[:, None], brdf_phong, brdf_diff)
+
+        cos_l = jnp.sum(shadow.normal * (-ldir), axis=-1)
+        cos_s = jnp.sum(n * ldir, axis=-1)
+        term = (
+            beta
+            * s_mat_ke
+            * brdf
+            * (cos_l * cos_s / jnp.maximum(d2, 1e-20) * weight)[:, None]
+        )
+        contrib = contrib + jnp.where((active & s_emissive)[:, None], term, 0.0)
+        shadow_any = shadow_any | shadow.hit
+    scale = 1.0 / settings.num_direct_lighting_samples
+    return contrib * scale, shadow_any
+
+
+def make_bounce_step(scene, settings):
+    """One masked wavefront bounce; scanned over depth by ``radiance_batch``."""
+
+    def step(carry, depth):
+        o, d, beta, radiance, alive, spec, keys = carry
+        n_uniforms = rng.STRIDE + 3 * (settings.num_direct_lighting_samples - 1)
+        u = rng.bounce_uniforms(keys, depth, n=n_uniforms)
+
+        hit = intersect(scene, o, d, settings)
+        mat = _gather_material(scene, hit.mat_id)
+        n = hit.normal
+
+        active = alive & hit.hit
+        emissive = jnp.sum(mat["Ke"], axis=-1) > 0.0
+
+        # -- emissive termination (program-raymarch.wgsl:136-141)
+        add_mask = active & emissive & (spec | (depth == 0))
+        radiance = radiance + jnp.where(add_mask[:, None], beta * mat["Ke"], 0.0)
+        alive = active & ~add_mask
+
+        # -- NEE (program-raymarch.wgsl:146-187)
+        contrib, shadow_hit = _nee(scene, settings, hit, mat, d, beta, u, alive)
+        radiance = radiance + contrib
+        if settings.direct_lighting_only:
+            alive = alive & ~shadow_hit
+
+        # -- Russian roulette (program-raymarch.wgsl:190-193)
+        alive = alive & (u[:, rng.RR] <= settings.rr_prob)
+        inv_rr = 1.0 / settings.rr_prob
+
+        # -- BSDF select (program-raymarch.wgsl:199-297)
+        is_dielectric = mat["illum"] == 7.0
+        r_theta, refr_dir, tir = dielectric_directions(
+            d, n, mat["Ni"], settings.compat_fixed_eta
+        )
+        chose_reflect = u[:, rng.FRESNEL] < r_theta
+        if not settings.compat_fixed_eta:
+            # Corrected mode: total internal reflection reflects instead of
+            # following the reference's clamped pseudo-refraction.
+            chose_reflect = chose_reflect | tir
+        refract_lane = is_dielectric & ~chose_reflect
+        mirror_lane = (mat["Ns"] > 500.0) | (is_dielectric & chose_reflect)
+        specular_lane = refract_lane | mirror_lane
+
+        samp_dir, pdf = sample_cosine_hemisphere(
+            n, u[:, rng.BSDF_DIR], u[:, rng.BSDF_DIR + 1]
+        )
+        glossy_lane = (jnp.sum(mat["Ks"], axis=-1) > 0.0) & ~specular_lane
+        brdf_phong, q = eval_phong_bounce(mat["Ks"], mat["Ns"], d, samp_dir, n)
+        brdf_diff = mat["Kd"] / PI
+        brdf = jnp.where(glossy_lane[:, None], brdf_phong, brdf_diff)
+
+        new_d = jnp.where(
+            specular_lane[:, None],
+            jnp.where(refract_lane[:, None], refr_dir, reflect(d, n)),
+            samp_dir,
+        )
+        new_o = hit.point + RAY_OFFSET * new_d
+
+        cos_t = jnp.sum(samp_dir * n, axis=-1)
+        diffuse_scale = brdf * (cos_t / jnp.maximum(pdf, 1e-20) * inv_rr)[:, None]
+        new_beta = beta * jnp.where(
+            specular_lane[:, None], inv_rr, diffuse_scale
+        )
+
+        bounce_spec = specular_lane | (glossy_lane & (depth == 0) & (q >= 0.0))
+        if settings.compat_sticky_specular:
+            # Reference quirk: hit_specular is never reset within a path.
+            new_spec = spec | (alive & bounce_spec)
+        else:
+            new_spec = alive & specular_lane
+
+        live = alive[:, None]
+        o = jnp.where(live, new_o, o)
+        d = jnp.where(live, new_d, d)
+        beta = jnp.where(live, new_beta, beta)
+        spec = jnp.where(alive, new_spec, spec)
+        return (o, d, beta, radiance, alive, spec, keys), None
+
+    return step
+
+
+def radiance_batch(scene, settings, o, d, keys):
+    """Estimate radiance for a ray batch -> [B, 3].
+
+    ``keys``: per-ray threefry keys (ops.rng.ray_keys). The bounce step is
+    rematerialized (``jax.checkpoint``) so the backward pass replays paths
+    instead of storing per-bounce intermediates (path-replay backprop).
+    """
+    b = o.shape[0]
+    beta = jnp.ones((b, 3), dtype=o.dtype)
+    radiance = jnp.zeros((b, 3), dtype=o.dtype)
+    alive = jnp.ones((b,), dtype=bool)
+    spec = jnp.zeros((b,), dtype=bool)
+
+    step = jax.checkpoint(make_bounce_step(scene, settings))
+    carry = (o, d, beta, radiance, alive, spec, keys)
+    carry, _ = jax.lax.scan(
+        step, carry, jnp.arange(settings.max_depth, dtype=jnp.int32)
+    )
+    return carry[3]

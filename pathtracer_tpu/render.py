@@ -1,0 +1,85 @@
+"""High-level rendering API.
+
+TPU-native replacement for the reference's render loop
+(``src/program-raymarch.ts:226-336``): where the reference dispatches one
+1-spp frame per ``requestAnimationFrame`` and averages on the CPU, this jits
+one sample-wave over the full pixel batch and accumulates on device.
+Progressive accumulation (sample-at-a-time) is kept — it is what makes
+renders checkpointable/resumable (``utils.checkpoint``) and is how spp maps
+to the reference's frame loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracer_tpu.models.camera import Camera
+from pathtracer_tpu.models.scene import RenderSettings, Scene
+from pathtracer_tpu.ops import rng
+from pathtracer_tpu.ops.camera_rays import generate_rays
+from pathtracer_tpu.ops.integrator import radiance_batch
+from pathtracer_tpu.ops.tonemap import TONEMAPS
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def sample_wave(scene: Scene, frame: dict, settings: RenderSettings, sample_idx):
+    """Trace one sample for every pixel -> [H*W, 3] radiance.
+
+    Equivalent of one reference frame dispatch (1 new sample/pixel,
+    program-raymarch.ts:255-260), with the per-frame time-seed RNG replaced
+    by counter-based keys (pixel, sample) — see ops.rng.
+    """
+    n_pixels = settings.width * settings.height
+    pixel_ids = jnp.arange(n_pixels, dtype=jnp.uint32)
+    sample_ids = jnp.full((n_pixels,), sample_idx, dtype=jnp.uint32)
+    base = jax.random.PRNGKey(0)
+    keys = rng.ray_keys(base, pixel_ids, sample_ids)
+
+    jitter_key = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+        keys, rng.PIXEL_JITTER
+    )
+    jitter = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(jitter_key)
+
+    o, d = generate_rays(frame, settings.width, settings.height, pixel_ids, jitter)
+    radiance = radiance_batch(scene, settings, o, d, keys)
+    # Reference clamps each sample's channels at accumulation
+    # (program-raymarch.ts:283-285).
+    return jnp.maximum(radiance, 0.0)
+
+
+def render(
+    scene: Scene,
+    camera: Camera,
+    settings: RenderSettings,
+    progress_callback=None,
+) -> jax.Array:
+    """Full progressive render -> mean radiance [H, W, 3] (pre-tonemap)."""
+    frame = {
+        k: jnp.asarray(v)
+        for k, v in camera.ray_frame(settings.width, settings.height).items()
+    }
+    n_pixels = settings.width * settings.height
+    acc = jnp.zeros((n_pixels, 3), dtype=jnp.float32)
+    for s in range(settings.samples_per_pixel):
+        acc = acc + sample_wave(scene, frame, settings, jnp.uint32(s))
+        if progress_callback is not None:
+            progress_callback(s + 1, settings.samples_per_pixel)
+    mean = acc / settings.samples_per_pixel
+    return mean.reshape(settings.height, settings.width, 3)
+
+
+def render_image(
+    scene: Scene,
+    camera: Camera,
+    settings: RenderSettings,
+    tonemap: str = "reference",
+    progress_callback=None,
+) -> np.ndarray:
+    """Render + tonemap -> numpy [H, W, 3] float in [0, 1]."""
+    mean = render(scene, camera, settings, progress_callback)
+    out = TONEMAPS[tonemap](mean)
+    return np.asarray(jax.device_get(out))
