@@ -102,6 +102,8 @@ class RenderSettings:
     use_vertex_normals: bool = False
     # Implementation selection: "auto" | "brute" | "bvh" | "pallas"
     intersector: str = "auto"
+    # RNG: "hash" (fast murmur3-finalizer counters) | "threefry" (oracle)
+    rng: str = "hash"
     # Rays per device batch (pixels*samples are chunked to this).
     batch_size: int = 1 << 18
 

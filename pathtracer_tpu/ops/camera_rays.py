@@ -35,5 +35,7 @@ def generate_rays(frame: dict, width: int, height: int, pixel_ids, jitter):
         + frame["look"][None, :]
     )
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    o = jnp.broadcast_to(frame["origin"][None, :], d.shape)
+    # Data-dependence on d (not broadcast_to) so o carries the same
+    # shard_map varying-axis annotation as the rest of the ray state.
+    o = frame["origin"][None, :] + d * 0.0
     return o, d

@@ -107,9 +107,12 @@ def make_bounce_step(scene, settings):
     """One masked wavefront bounce; scanned over depth by ``radiance_batch``."""
 
     def step(carry, depth):
-        o, d, beta, radiance, alive, spec, keys = carry
+        o, d, beta, radiance, alive, spec, pixel_ids, sample_ids, n_rays = carry
         n_uniforms = rng.STRIDE + 3 * (settings.num_direct_lighting_samples - 1)
-        u = rng.bounce_uniforms(keys, depth, n=n_uniforms)
+        u = _uniforms(settings, pixel_ids, sample_ids, depth, n_uniforms)
+
+        # Live closest-hit rays this bounce (shadow rays counted below).
+        n_rays = n_rays + jnp.sum(alive.astype(jnp.float32))
 
         hit = intersect(scene, o, d, settings)
         mat = _gather_material(scene, hit.mat_id)
@@ -124,6 +127,9 @@ def make_bounce_step(scene, settings):
         alive = active & ~add_mask
 
         # -- NEE (program-raymarch.wgsl:146-187)
+        n_rays = n_rays + jnp.sum(alive.astype(jnp.float32)) * (
+            settings.num_direct_lighting_samples
+        )
         contrib, shadow_hit = _nee(scene, settings, hit, mat, d, beta, u, alive)
         radiance = radiance + contrib
         if settings.direct_lighting_only:
@@ -180,27 +186,54 @@ def make_bounce_step(scene, settings):
         d = jnp.where(live, new_d, d)
         beta = jnp.where(live, new_beta, beta)
         spec = jnp.where(alive, new_spec, spec)
-        return (o, d, beta, radiance, alive, spec, keys), None
+        return (
+            o, d, beta, radiance, alive, spec, pixel_ids, sample_ids, n_rays
+        ), None
 
     return step
 
 
-def radiance_batch(scene, settings, o, d, keys):
-    """Estimate radiance for a ray batch -> [B, 3].
+def _uniforms(settings, pixel_ids, sample_ids, depth, n):
+    """[B, n] per-bounce uniforms via the configured generator (ops.rng)."""
+    if settings.rng == "threefry":
+        keys = rng.ray_keys(jax.random.PRNGKey(0), pixel_ids, sample_ids)
+        return rng.bounce_uniforms_threefry(keys, depth, n)
+    return rng.bounce_uniforms_hash(pixel_ids, sample_ids, depth, n)
 
-    ``keys``: per-ray threefry keys (ops.rng.ray_keys). The bounce step is
-    rematerialized (``jax.checkpoint``) so the backward pass replays paths
-    instead of storing per-bounce intermediates (path-replay backprop).
+
+def radiance_batch_stats(scene, settings, o, d, pixel_ids, sample_ids):
+    """Radiance [B, 3] plus the number of rays actually traced (scalar).
+
+    The ray count is live closest-hit rays + live shadow rays summed over
+    bounces — the real work metric behind the rays/s benchmark
+    (SURVEY.md §5: rays/sec/chip as a first-class counter).
     """
-    b = o.shape[0]
-    beta = jnp.ones((b, 3), dtype=o.dtype)
-    radiance = jnp.zeros((b, 3), dtype=o.dtype)
-    alive = jnp.ones((b,), dtype=bool)
-    spec = jnp.zeros((b,), dtype=bool)
+    # Inits must be *data-dependent* on the ray arrays so they inherit any
+    # shard_map varying-axis annotation (scan carry in/out types must match;
+    # ones_like/zeros_like constant-fold and lose the axis).
+    zero3 = (o + d) * 0.0
+    zero = zero3[:, 0]
+    beta = zero3 + 1.0
+    radiance = zero3
+    alive = zero == 0.0
+    spec = zero != 0.0
+    n_rays = jnp.sum(zero)
 
     step = jax.checkpoint(make_bounce_step(scene, settings))
-    carry = (o, d, beta, radiance, alive, spec, keys)
+    carry = (o, d, beta, radiance, alive, spec, pixel_ids, sample_ids, n_rays)
     carry, _ = jax.lax.scan(
         step, carry, jnp.arange(settings.max_depth, dtype=jnp.int32)
     )
-    return carry[3]
+    return carry[3], carry[8]
+
+
+def radiance_batch(scene, settings, o, d, pixel_ids, sample_ids):
+    """Estimate radiance for a ray batch -> [B, 3].
+
+    ``pixel_ids``/``sample_ids``: [B] u32 counters identifying each ray; all
+    randomness derives from them (ops.rng), so results are placement- and
+    chunking-independent. The bounce step is rematerialized
+    (``jax.checkpoint``) so the backward pass replays paths instead of
+    storing per-bounce intermediates (path-replay backprop).
+    """
+    return radiance_batch_stats(scene, settings, o, d, pixel_ids, sample_ids)[0]

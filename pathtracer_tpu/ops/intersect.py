@@ -46,15 +46,33 @@ def _moller_trumbore(o, d, v0, e1, e2, valid):
     Same math and epsilon as the reference kernel
     (ray-triangle-intersection.wgsl:1-42), vectorized over the full
     ray-x-triangle tile with masks in place of branches.
+
+    Layout note: every intermediate is a *componentwise* [B, T] array — a
+    naive [B, T, 3] cross-product layout puts the xyz axis on the TPU's
+    128-wide lane dimension (3/128 utilization); component SoA keeps the
+    triangle axis minor so the VPU runs full tiles (~25x faster here).
     """
-    pvec = jnp.cross(d[:, None, :], e2[None, :, :])  # [B, T, 3]
-    det = jnp.einsum("tk,btk->bt", e1, pvec)
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]  # [B, 1]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    v0x, v0y, v0z = v0[None, :, 0], v0[None, :, 1], v0[None, :, 2]  # [1, T]
+    e1x, e1y, e1z = e1[None, :, 0], e1[None, :, 1], e1[None, :, 2]
+    e2x, e2y, e2z = e2[None, :, 0], e2[None, :, 1], e2[None, :, 2]
+
+    # pvec = d x e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
     inv_det = 1.0 / jnp.where(jnp.abs(det) > EPS_TRI, det, 1.0)
-    s = o[:, None, :] - v0[None, :, :]
-    u = jnp.einsum("btk,btk->bt", s, pvec) * inv_det
-    qvec = jnp.cross(s, e1[None, :, :])
-    v = jnp.einsum("bk,btk->bt", d, qvec) * inv_det
-    t = jnp.einsum("tk,btk->bt", e2, qvec) * inv_det
+    # s = o - v0
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    u = (sx * px + sy * py + sz * pz) * inv_det
+    # qvec = s x e1
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     ok = (
         (jnp.abs(det) > EPS_TRI)
         & (u >= 0.0)
@@ -99,7 +117,11 @@ def closest_tri_brute(scene, o, d, tile: int = 512):
             jnp.where(better, tile_arg, best_id),
         ), None
 
-    init = (jnp.full((b,), INF), jnp.full((b,), -1, dtype=jnp.int32))
+    # Inits must be *data-dependent* on the ray arrays so they inherit any
+    # shard_map varying-axis annotation (scan carry in/out types must match;
+    # full_like/zeros_like constant-fold and lose the axis).
+    zero = (o[:, 0] + d[:, 0]) * 0.0
+    init = (zero + INF, zero.astype(jnp.int32) - 1)
     tiles = (v0, e1, e2, valid, jnp.arange(n_tiles, dtype=jnp.int32))
     (best_t, best_id), _ = jax.lax.scan(body, init, tiles)
     return best_t, best_id
@@ -138,13 +160,9 @@ def intersect_analytic(scene, o, d):
     Rays transform into object space by the primitive's inverse CTM; normals
     return by inverse-transpose. Object space: sphere radius 0.5, cube ±0.5.
     """
-    b = o.shape[0]
-    best = (
-        jnp.full((b,), INF),
-        jnp.zeros((b, 3)),
-        jnp.zeros((b, 3)),
-        jnp.zeros((b,), jnp.int32),
-    )
+    zero3 = (o + d) * 0.0
+    zero = zero3[:, 0]
+    best = (zero + INF, zero3, zero3, zero.astype(jnp.int32))
     if scene.num_analytic == 0:
         return best
 
@@ -166,7 +184,7 @@ def intersect_analytic(scene, o, d):
         t2 = (-bq + sq) / (2.0 * a)
         t_sph = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, INF))
         t_sph = jnp.where(discr >= 0.0, t_sph, INF)
-        p_sph = oo + t_sph[:, None] * od
+        p_sph = oo + jnp.where(jnp.isfinite(t_sph), t_sph, 0.0)[:, None] * od
         n_sph = p_sph  # gradient of x^2+y^2+z^2, normalized later
 
         # Unit cube (slabs, face normals).
@@ -177,7 +195,7 @@ def intersect_analytic(scene, o, d):
         t_far = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
         hit_cube = (t_far >= t_near) & (t_far > eps)
         t_cube = jnp.where(hit_cube, jnp.where(t_near > eps, t_near, t_far), INF)
-        p_cube = oo + t_cube[:, None] * od
+        p_cube = oo + jnp.where(jnp.isfinite(t_cube), t_cube, 0.0)[:, None] * od
         # Face normal: axis of the largest |coordinate|.
         ax = jnp.argmax(jnp.abs(p_cube), axis=-1)
         n_cube = jnp.sign(
@@ -188,8 +206,9 @@ def intersect_analytic(scene, o, d):
         t_obj = jnp.where(is_sphere, t_sph, t_cube)
         n_obj = jnp.where(is_sphere, n_sph, n_cube)
 
-        # Back to world space.
-        p_w = o + t_obj[:, None] * d
+        # Back to world space (miss lanes: finite placeholder, see above).
+        t_w = jnp.where(jnp.isfinite(t_obj), t_obj, 0.0)
+        p_w = o + t_w[:, None] * d
         n_w = n_obj @ inv[:3, :3]  # (ctm^-1)^T applied -> row-vector form
         n_w = n_w / jnp.maximum(jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-20)
 
@@ -226,7 +245,10 @@ def intersect(scene, o, d, settings) -> Hit:
     safe_id = jnp.maximum(tri_id, 0)
     n_geo = scene.tri_n[safe_id]
     mat = scene.tri_mat[safe_id]
-    point = o + t_tri[:, None] * d
+    # Miss lanes keep t = inf but must not produce inf/NaN coordinates:
+    # 0 * inf = NaN would poison reverse-mode AD even through masked lanes.
+    t_pt = jnp.where(jnp.isfinite(t_tri), t_tri, 0.0)
+    point = o + t_pt[:, None] * d
     n_shade = _shading_normal(
         scene, o, d, t_tri, safe_id, n_geo, settings.use_vertex_normals
     )

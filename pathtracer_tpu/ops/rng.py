@@ -2,15 +2,19 @@
 
 Replaces the reference's integer-hash chain (``src/wgsl-util/hash.wgsl``:
 the classic ``n<<13 ^ n`` one-liner, re-hashed ad hoc through the kernel)
-with JAX's threefry keys derived *structurally*:
+with *structural* counter-based generators: every draw is a pure function of
+(pixel_id, sample_id, bounce, purpose). This makes renders independent of
+batch chunking or device placement — a render sharded over N chips is
+bit-identical to a single-chip render — and lets the backward path-replay
+pass regenerate the exact forward samples.
 
-    ray_key = fold_in(fold_in(base, pixel_id), sample_id)
-    draw    = uniform(fold_in(ray_key, bounce * STRIDE + purpose))
+Two interchangeable generators (``RenderSettings.rng``):
 
-This makes every random draw a pure function of (pixel, sample, bounce,
-purpose) — independent of batch chunking or device placement, so a render
-sharded over N chips is bit-identical to a single-chip render, and the
-backward path-replay pass can regenerate the exact forward samples.
+- ``hash`` (default): two rounds of the murmur3 finalizer over the mixed
+  counters. Pure [B]-elementwise u32 ops on the VPU — ~20x cheaper than
+  per-ray threefry and far stronger than the reference's single-round hash.
+- ``threefry``: JAX's counter-based threefry keys (crypto-strength; the
+  validation oracle for the hash generator).
 """
 
 from __future__ import annotations
@@ -25,17 +29,79 @@ LIGHT_BARY = 1  # consumes 2 uniforms
 RR = 3
 FRESNEL = 4
 BSDF_DIR = 5  # consumes 2 uniforms
-PIXEL_JITTER = 7  # bounce 0 only
+PIXEL_JITTER = 1 << 20  # reserved counter block for bounce-independent draws
+
+_C1 = jnp.uint32(0x9E3779B1)  # golden-ratio Weyl constant
+_C2 = jnp.uint32(0x85EBCA77)
+_C3 = jnp.uint32(0xC2B2AE3D)
+_M1 = jnp.uint32(0x85EBCA6B)  # murmur3 fmix32 constants
+_M2 = jnp.uint32(0xC2B2AE35)
+
+
+def _fmix32(x):
+    """murmur3 finalizer: full avalanche over 32 bits."""
+    x = x ^ (x >> 16)
+    x = x * _M1
+    x = x ^ (x >> 13)
+    x = x * _M2
+    x = x ^ (x >> 16)
+    return x
+
+
+def hash_u32(pixel_ids, sample_ids, counter):
+    """Well-mixed u32 from (pixel, sample, counter) — all [B] u32 or scalar."""
+    h = pixel_ids.astype(jnp.uint32) * _C1
+    h = _fmix32(h ^ (sample_ids.astype(jnp.uint32) * _C2))
+    h = _fmix32(h ^ (jnp.uint32(counter) * _C3))
+    return h
+
+
+def hash_uniform(pixel_ids, sample_ids, counter):
+    """[B] uniforms in [0, 1) from the hash generator (24-bit mantissa)."""
+    bits = hash_u32(pixel_ids, sample_ids, counter)
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def bounce_uniforms_hash(pixel_ids, sample_ids, bounce, n: int = STRIDE):
+    """[B, n] uniforms for one bounce; counter = bounce * STRIDE + slot."""
+    base = bounce.astype(jnp.uint32) * jnp.uint32(STRIDE) if hasattr(
+        bounce, "astype"
+    ) else jnp.uint32(bounce * STRIDE)
+    cols = [
+        hash_uniform(pixel_ids, sample_ids, base + jnp.uint32(i)) for i in range(n)
+    ]
+    return jnp.stack(cols, axis=-1)
+
+
+def pixel_jitter_hash(pixel_ids, sample_ids):
+    """[B, 2] sub-pixel jitter in [0, 1)."""
+    return jnp.stack(
+        [
+            hash_uniform(pixel_ids, sample_ids, PIXEL_JITTER),
+            hash_uniform(pixel_ids, sample_ids, PIXEL_JITTER + 1),
+        ],
+        axis=-1,
+    )
+
+
+# --- threefry path (validation oracle / crypto-strength option) ---
 
 
 def ray_keys(base_key: jax.Array, pixel_ids: jax.Array, sample_ids: jax.Array):
-    """Per-ray keys from global pixel ids [B] and sample indices [B]."""
+    """Per-ray threefry keys from global pixel ids [B] and sample ids [B]."""
     fold = jax.vmap(jax.random.fold_in, in_axes=(None, 0))
     keys = fold(base_key, pixel_ids.astype(jnp.uint32))
     return jax.vmap(jax.random.fold_in)(keys, sample_ids.astype(jnp.uint32))
 
 
-def bounce_uniforms(keys: jax.Array, bounce, n: int = STRIDE) -> jax.Array:
+def bounce_uniforms_threefry(keys: jax.Array, bounce, n: int = STRIDE) -> jax.Array:
     """[B, n] uniforms in [0, 1) for one bounce, one row per ray."""
     folded = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, bounce)
     return jax.vmap(lambda k: jax.random.uniform(k, (n,)))(folded)
+
+
+def pixel_jitter_threefry(keys: jax.Array) -> jax.Array:
+    folded = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+        keys, jnp.uint32(PIXEL_JITTER)
+    )
+    return jax.vmap(lambda k: jax.random.uniform(k, (2,)))(folded)

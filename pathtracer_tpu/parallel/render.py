@@ -25,16 +25,18 @@ from pathtracer_tpu.ops.integrator import radiance_batch
 from pathtracer_tpu.parallel.mesh import RAY_AXIS, make_mesh
 
 
-def _wave_local(scene, frame, settings, sample_idx, pixel_ids):
+def _wave_local(scene, frame, sample_idx, pixel_ids, settings):
     """Per-shard sample wave on local pixel ids [b_local]."""
     sample_ids = jnp.full(pixel_ids.shape, sample_idx, dtype=jnp.uint32)
-    keys = rng.ray_keys(jax.random.PRNGKey(0), pixel_ids, sample_ids)
-    jitter_key = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
-        keys, rng.PIXEL_JITTER
-    )
-    jitter = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(jitter_key)
+    if settings.rng == "threefry":
+        keys = rng.ray_keys(jax.random.PRNGKey(0), pixel_ids, sample_ids)
+        jitter = rng.pixel_jitter_threefry(keys)
+    else:
+        jitter = rng.pixel_jitter_hash(pixel_ids, sample_ids)
     o, d = generate_rays(frame, settings.width, settings.height, pixel_ids, jitter)
-    return jnp.maximum(radiance_batch(scene, settings, o, d, keys), 0.0)
+    return jnp.maximum(
+        radiance_batch(scene, settings, o, d, pixel_ids, sample_ids), 0.0
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "mesh"))

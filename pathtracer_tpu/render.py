@@ -36,16 +36,15 @@ def sample_wave(scene: Scene, frame: dict, settings: RenderSettings, sample_idx)
     n_pixels = settings.width * settings.height
     pixel_ids = jnp.arange(n_pixels, dtype=jnp.uint32)
     sample_ids = jnp.full((n_pixels,), sample_idx, dtype=jnp.uint32)
-    base = jax.random.PRNGKey(0)
-    keys = rng.ray_keys(base, pixel_ids, sample_ids)
 
-    jitter_key = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
-        keys, rng.PIXEL_JITTER
-    )
-    jitter = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(jitter_key)
+    if settings.rng == "threefry":
+        keys = rng.ray_keys(jax.random.PRNGKey(0), pixel_ids, sample_ids)
+        jitter = rng.pixel_jitter_threefry(keys)
+    else:
+        jitter = rng.pixel_jitter_hash(pixel_ids, sample_ids)
 
     o, d = generate_rays(frame, settings.width, settings.height, pixel_ids, jitter)
-    radiance = radiance_batch(scene, settings, o, d, keys)
+    radiance = radiance_batch(scene, settings, o, d, pixel_ids, sample_ids)
     # Reference clamps each sample's channels at accumulation
     # (program-raymarch.ts:283-285).
     return jnp.maximum(radiance, 0.0)

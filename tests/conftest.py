@@ -8,12 +8,14 @@ the suite against the real accelerator instead.
 import os
 
 if not os.environ.get("PT_TPU_TEST_REAL_DEVICE"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+    # The harness registers an `axon` TPU backend via sitecustomize and sets
+    # jax_platforms directly in jax.config, so env vars alone do not stick —
+    # override the config before any backend initializes.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import pathlib
 

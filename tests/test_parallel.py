@@ -1,0 +1,107 @@
+"""Sharded rendering: bit-identical to single-device, psum'd training step.
+
+Runs on the 8-virtual-device CPU mesh (conftest). This is the without-a-pod
+validation path from SURVEY.md §4.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracer_tpu.models.procedural import cornell_box_scene
+from pathtracer_tpu.models.scene import RenderSettings
+
+
+@pytest.fixture(scope="module")
+def box():
+    return cornell_box_scene()
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_render_matches_single(box):
+    from pathtracer_tpu.parallel.mesh import make_mesh
+    from pathtracer_tpu.parallel.render import render_sharded
+    from pathtracer_tpu.render import render
+
+    scene, camera = box
+    settings = RenderSettings(width=16, height=16, samples_per_pixel=2, max_depth=4)
+    single = np.asarray(render(scene, camera, settings))
+    sharded = np.asarray(
+        render_sharded(scene, camera, settings, mesh=make_mesh())
+    )
+    # Counter-based RNG makes these bit-identical, not just close.
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_sharded_train_step_runs_and_reduces(box):
+    import optax
+
+    from pathtracer_tpu.inverse import make_train_step, material_params
+    from pathtracer_tpu.parallel.mesh import make_mesh
+
+    scene, camera = box
+    settings = RenderSettings(width=8, height=8, max_depth=3)
+    mesh = make_mesh()
+    params = material_params(scene)
+    optimizer = optax.sgd(1e-2)
+    opt_state = optimizer.init(params)
+    step = make_train_step(settings, optimizer, mesh=mesh)
+
+    n = settings.width * settings.height
+    frame = {
+        k: jnp.asarray(v)
+        for k, v in camera.ray_frame(settings.width, settings.height).items()
+    }
+    pixel_ids = jnp.arange(n, dtype=jnp.uint32)
+    sample_ids = jnp.zeros((n,), jnp.uint32)
+    target = jnp.zeros((n, 3))
+
+    new_params, _, loss = step(
+        params, opt_state, scene, frame, target, pixel_ids, sample_ids
+    )
+    assert np.isfinite(float(loss))
+    # Params actually moved.
+    delta = sum(
+        float(jnp.abs(new_params[k] - params[k]).sum()) for k in params
+    )
+    assert delta > 0.0
+
+
+def test_sharded_grads_match_unsharded(box):
+    import optax
+
+    from pathtracer_tpu.inverse import make_train_step, material_params
+    from pathtracer_tpu.parallel.mesh import make_mesh
+
+    scene, camera = box
+    settings = RenderSettings(width=8, height=8, max_depth=3)
+    params = material_params(scene)
+    optimizer = optax.sgd(1e-1)
+    opt_state = optimizer.init(params)
+
+    n = settings.width * settings.height
+    frame = {
+        k: jnp.asarray(v)
+        for k, v in camera.ray_frame(settings.width, settings.height).items()
+    }
+    pixel_ids = jnp.arange(n, dtype=jnp.uint32)
+    sample_ids = jnp.zeros((n,), jnp.uint32)
+    target = jnp.zeros((n, 3))
+
+    step_single = make_train_step(settings, optimizer, mesh=None)
+    step_sharded = make_train_step(settings, optimizer, mesh=make_mesh())
+    p1, _, l1 = step_single(
+        params, opt_state, scene, frame, target, pixel_ids, sample_ids
+    )
+    p2, _, l2 = step_sharded(
+        params, opt_state, scene, frame, target, pixel_ids, sample_ids
+    )
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k]), rtol=1e-4, atol=1e-6
+        )
