@@ -32,6 +32,7 @@ def main():
     p.add_argument("--spp", type=int, default=16)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--intersector", default="auto")
+    p.add_argument("--scheduler", default="regen", choices=("regen", "scan"))
     p.add_argument("--mse", action="store_true", help="also report MSE vs golden")
     args = p.parse_args()
 
@@ -50,6 +51,7 @@ def main():
         height=args.size,
         samples_per_pixel=args.spp,
         intersector=args.intersector,
+        scheduler=args.scheduler,
     )
     frame = {
         k: jnp.asarray(v)
@@ -70,23 +72,43 @@ def main():
         )
         return jnp.maximum(rad, 0.0), n_rays
 
-    # Warmup (compile) then timed samples.
-    for s in range(args.warmup):
-        r, n = wave(scene, frame, jnp.uint32(s))
-        jax.block_until_ready(r)
+    if args.scheduler == "regen":
+        from pathtracer_tpu.ops.wavefront import render_pool
 
-    acc = jnp.zeros((n_pixels, 3))
-    total_rays = 0.0
-    t0 = time.perf_counter()
-    for s in range(args.spp):
-        r, n = wave(scene, frame, jnp.uint32(s))
-        acc = acc + r
-    jax.block_until_ready(acc)
-    dt = time.perf_counter() - t0
-    # Ray counts are deterministic per sample; fetch after timing.
-    for s in range(args.spp):
-        _, n = wave(scene, frame, jnp.uint32(s))
-        total_rays += float(n)
+        def run():
+            img, n_rays, iters = render_pool(
+                scene,
+                frame,
+                settings,
+                n_pixels=n_pixels,
+                batch=min(settings.batch_size, n_pixels * args.spp),
+                rays_per_pixel=args.spp,
+            )
+            jax.block_until_ready(img)
+            return float(n_rays)
+
+        run()  # compile
+        t0 = time.perf_counter()
+        total_rays = run()
+        dt = time.perf_counter() - t0
+    else:
+        # Warmup (compile) then timed samples.
+        for s in range(args.warmup):
+            r, n = wave(scene, frame, jnp.uint32(s))
+            jax.block_until_ready(r)
+
+        acc = jnp.zeros((n_pixels, 3))
+        total_rays = 0.0
+        t0 = time.perf_counter()
+        for s in range(args.spp):
+            r, n = wave(scene, frame, jnp.uint32(s))
+            acc = acc + r
+        jax.block_until_ready(acc)
+        dt = time.perf_counter() - t0
+        # Ray counts are deterministic per sample; fetch after timing.
+        for s in range(args.spp):
+            _, n = wave(scene, frame, jnp.uint32(s))
+            total_rays += float(n)
 
     rays_per_sec = total_rays / dt
     result = {
@@ -99,6 +121,7 @@ def main():
         "wall_s": round(dt, 3),
         "device": str(jax.devices()[0]),
         "intersector": args.intersector,
+        "scheduler": args.scheduler,
     }
     print(json.dumps(result))
 

@@ -31,6 +31,11 @@ def main(argv=None) -> int:
         choices=("auto", "brute", "bvh", "pallas"),
     )
     p.add_argument("--tonemap", default="reference")
+    p.add_argument("--scheduler", default="regen", choices=("regen", "scan"))
+    p.add_argument(
+        "--checkpoint", default=None,
+        help="path for resumable accumulation state (.npz)",
+    )
     p.add_argument("--sharded", action="store_true", help="shard over all devices")
     p.add_argument(
         "--light-sampling",
@@ -43,7 +48,7 @@ def main(argv=None) -> int:
     from pathtracer_tpu.models.scene import load_scene
     from pathtracer_tpu.utils.image import write_png
 
-    overrides = dict(intersector=args.intersector)
+    overrides = dict(intersector=args.intersector, scheduler=args.scheduler)
     if args.spp is not None:
         overrides["samples_per_pixel"] = args.spp
     if args.size is not None:
@@ -71,7 +76,17 @@ def main(argv=None) -> int:
             print(f"  sample {done}/{total}", file=sys.stderr)
 
     t0 = time.perf_counter()
-    if args.sharded:
+    if args.checkpoint:
+        import jax
+
+        from pathtracer_tpu.ops.tonemap import TONEMAPS
+        from pathtracer_tpu.render import render_checkpointed
+
+        mean = render_checkpointed(
+            scene, camera, settings, args.checkpoint, progress_callback=progress
+        )
+        img = jax.device_get(TONEMAPS[args.tonemap](mean))
+    elif args.sharded:
         import jax
 
         from pathtracer_tpu.ops.tonemap import TONEMAPS

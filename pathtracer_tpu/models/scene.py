@@ -104,6 +104,9 @@ class RenderSettings:
     intersector: str = "auto"
     # RNG: "hash" (fast murmur3-finalizer counters) | "threefry" (oracle)
     rng: str = "hash"
+    # Scheduler: "regen" (regenerative wavefront pool, ~4x faster) |
+    # "scan" (fixed-depth wave per sample; the differentiable path)
+    scheduler: str = "regen"
     # Rays per device batch (pixels*samples are chunked to this).
     batch_size: int = 1 << 18
 

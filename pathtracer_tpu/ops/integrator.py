@@ -103,101 +103,124 @@ def _nee(scene, settings, hit, mat, d, beta, u, active):
     return contrib * scale, shadow_any
 
 
+def bounce_core(scene, settings, o, d, beta, radiance, alive, spec,
+                pixel_ids, sample_ids, depth):
+    """One masked wavefront bounce over [B] lanes.
+
+    ``depth`` may be a scalar (fixed-depth scan integrator) or a per-lane
+    [B] array (regenerative wavefront, where each lane is at its own bounce
+    depth). Returns the updated lane state plus the number of rays traced.
+    """
+    n_uniforms = rng.STRIDE + 3 * (settings.num_direct_lighting_samples - 1)
+    u = _uniforms(settings, pixel_ids, sample_ids, depth, n_uniforms)
+
+    # Live closest-hit rays this bounce (shadow rays counted below).
+    n_rays = jnp.sum(alive.astype(jnp.float32))
+
+    hit = intersect(scene, o, d, settings)
+    mat = _gather_material(scene, hit.mat_id)
+    n = hit.normal
+
+    active = alive & hit.hit
+    emissive = jnp.sum(mat["Ke"], axis=-1) > 0.0
+
+    # -- emissive termination (program-raymarch.wgsl:136-141)
+    add_mask = active & emissive & (spec | (depth == 0))
+    radiance = radiance + jnp.where(add_mask[:, None], beta * mat["Ke"], 0.0)
+    alive = active & ~add_mask
+
+    # -- NEE (program-raymarch.wgsl:146-187)
+    n_rays = n_rays + jnp.sum(alive.astype(jnp.float32)) * (
+        settings.num_direct_lighting_samples
+    )
+    contrib, shadow_hit = _nee(scene, settings, hit, mat, d, beta, u, alive)
+    radiance = radiance + contrib
+    if settings.direct_lighting_only:
+        alive = alive & ~shadow_hit
+
+    # -- Russian roulette (program-raymarch.wgsl:190-193)
+    alive = alive & (u[:, rng.RR] <= settings.rr_prob)
+    inv_rr = 1.0 / settings.rr_prob
+
+    # -- BSDF select (program-raymarch.wgsl:199-297)
+    is_dielectric = mat["illum"] == 7.0
+    r_theta, refr_dir, tir = dielectric_directions(
+        d, n, mat["Ni"], settings.compat_fixed_eta
+    )
+    chose_reflect = u[:, rng.FRESNEL] < r_theta
+    if not settings.compat_fixed_eta:
+        # Corrected mode: total internal reflection reflects instead of
+        # following the reference's clamped pseudo-refraction.
+        chose_reflect = chose_reflect | tir
+    refract_lane = is_dielectric & ~chose_reflect
+    mirror_lane = (mat["Ns"] > 500.0) | (is_dielectric & chose_reflect)
+    specular_lane = refract_lane | mirror_lane
+
+    samp_dir, pdf = sample_cosine_hemisphere(
+        n, u[:, rng.BSDF_DIR], u[:, rng.BSDF_DIR + 1]
+    )
+    glossy_lane = (jnp.sum(mat["Ks"], axis=-1) > 0.0) & ~specular_lane
+    brdf_phong, q = eval_phong_bounce(mat["Ks"], mat["Ns"], d, samp_dir, n)
+    brdf_diff = mat["Kd"] / PI
+    brdf = jnp.where(glossy_lane[:, None], brdf_phong, brdf_diff)
+
+    new_d = jnp.where(
+        specular_lane[:, None],
+        jnp.where(refract_lane[:, None], refr_dir, reflect(d, n)),
+        samp_dir,
+    )
+    new_o = hit.point + RAY_OFFSET * new_d
+
+    cos_t = jnp.sum(samp_dir * n, axis=-1)
+    diffuse_scale = brdf * (cos_t / jnp.maximum(pdf, 1e-20) * inv_rr)[:, None]
+    new_beta = beta * jnp.where(
+        specular_lane[:, None], inv_rr, diffuse_scale
+    )
+
+    bounce_spec = specular_lane | (glossy_lane & (depth == 0) & (q >= 0.0))
+    if settings.compat_sticky_specular:
+        # Reference quirk: hit_specular is never reset within a path.
+        new_spec = spec | (alive & bounce_spec)
+    else:
+        new_spec = alive & specular_lane
+
+    live = alive[:, None]
+    o = jnp.where(live, new_o, o)
+    d = jnp.where(live, new_d, d)
+    beta = jnp.where(live, new_beta, beta)
+    spec = jnp.where(alive, new_spec, spec)
+    return o, d, beta, radiance, alive, spec, n_rays
+
+
 def make_bounce_step(scene, settings):
-    """One masked wavefront bounce; scanned over depth by ``radiance_batch``."""
+    """Scan-compatible wrapper around ``bounce_core`` (fixed-depth scan)."""
 
     def step(carry, depth):
         o, d, beta, radiance, alive, spec, pixel_ids, sample_ids, n_rays = carry
-        n_uniforms = rng.STRIDE + 3 * (settings.num_direct_lighting_samples - 1)
-        u = _uniforms(settings, pixel_ids, sample_ids, depth, n_uniforms)
-
-        # Live closest-hit rays this bounce (shadow rays counted below).
-        n_rays = n_rays + jnp.sum(alive.astype(jnp.float32))
-
-        hit = intersect(scene, o, d, settings)
-        mat = _gather_material(scene, hit.mat_id)
-        n = hit.normal
-
-        active = alive & hit.hit
-        emissive = jnp.sum(mat["Ke"], axis=-1) > 0.0
-
-        # -- emissive termination (program-raymarch.wgsl:136-141)
-        add_mask = active & emissive & (spec | (depth == 0))
-        radiance = radiance + jnp.where(add_mask[:, None], beta * mat["Ke"], 0.0)
-        alive = active & ~add_mask
-
-        # -- NEE (program-raymarch.wgsl:146-187)
-        n_rays = n_rays + jnp.sum(alive.astype(jnp.float32)) * (
-            settings.num_direct_lighting_samples
+        o, d, beta, radiance, alive, spec, dn = bounce_core(
+            scene, settings, o, d, beta, radiance, alive, spec,
+            pixel_ids, sample_ids, depth,
         )
-        contrib, shadow_hit = _nee(scene, settings, hit, mat, d, beta, u, alive)
-        radiance = radiance + contrib
-        if settings.direct_lighting_only:
-            alive = alive & ~shadow_hit
-
-        # -- Russian roulette (program-raymarch.wgsl:190-193)
-        alive = alive & (u[:, rng.RR] <= settings.rr_prob)
-        inv_rr = 1.0 / settings.rr_prob
-
-        # -- BSDF select (program-raymarch.wgsl:199-297)
-        is_dielectric = mat["illum"] == 7.0
-        r_theta, refr_dir, tir = dielectric_directions(
-            d, n, mat["Ni"], settings.compat_fixed_eta
-        )
-        chose_reflect = u[:, rng.FRESNEL] < r_theta
-        if not settings.compat_fixed_eta:
-            # Corrected mode: total internal reflection reflects instead of
-            # following the reference's clamped pseudo-refraction.
-            chose_reflect = chose_reflect | tir
-        refract_lane = is_dielectric & ~chose_reflect
-        mirror_lane = (mat["Ns"] > 500.0) | (is_dielectric & chose_reflect)
-        specular_lane = refract_lane | mirror_lane
-
-        samp_dir, pdf = sample_cosine_hemisphere(
-            n, u[:, rng.BSDF_DIR], u[:, rng.BSDF_DIR + 1]
-        )
-        glossy_lane = (jnp.sum(mat["Ks"], axis=-1) > 0.0) & ~specular_lane
-        brdf_phong, q = eval_phong_bounce(mat["Ks"], mat["Ns"], d, samp_dir, n)
-        brdf_diff = mat["Kd"] / PI
-        brdf = jnp.where(glossy_lane[:, None], brdf_phong, brdf_diff)
-
-        new_d = jnp.where(
-            specular_lane[:, None],
-            jnp.where(refract_lane[:, None], refr_dir, reflect(d, n)),
-            samp_dir,
-        )
-        new_o = hit.point + RAY_OFFSET * new_d
-
-        cos_t = jnp.sum(samp_dir * n, axis=-1)
-        diffuse_scale = brdf * (cos_t / jnp.maximum(pdf, 1e-20) * inv_rr)[:, None]
-        new_beta = beta * jnp.where(
-            specular_lane[:, None], inv_rr, diffuse_scale
-        )
-
-        bounce_spec = specular_lane | (glossy_lane & (depth == 0) & (q >= 0.0))
-        if settings.compat_sticky_specular:
-            # Reference quirk: hit_specular is never reset within a path.
-            new_spec = spec | (alive & bounce_spec)
-        else:
-            new_spec = alive & specular_lane
-
-        live = alive[:, None]
-        o = jnp.where(live, new_o, o)
-        d = jnp.where(live, new_d, d)
-        beta = jnp.where(live, new_beta, beta)
-        spec = jnp.where(alive, new_spec, spec)
         return (
-            o, d, beta, radiance, alive, spec, pixel_ids, sample_ids, n_rays
+            o, d, beta, radiance, alive, spec, pixel_ids, sample_ids,
+            n_rays + dn,
         ), None
 
     return step
 
 
 def _uniforms(settings, pixel_ids, sample_ids, depth, n):
-    """[B, n] per-bounce uniforms via the configured generator (ops.rng)."""
+    """[B, n] per-bounce uniforms via the configured generator (ops.rng).
+
+    ``depth`` may be a scalar or a per-lane [B] array.
+    """
     if settings.rng == "threefry":
         keys = rng.ray_keys(jax.random.PRNGKey(0), pixel_ids, sample_ids)
-        return rng.bounce_uniforms_threefry(keys, depth, n)
+        depth_arr = jnp.broadcast_to(
+            jnp.asarray(depth, dtype=jnp.uint32), pixel_ids.shape
+        )
+        folded = jax.vmap(jax.random.fold_in)(keys, depth_arr)
+        return jax.vmap(lambda k: jax.random.uniform(k, (n,)))(folded)
     return rng.bounce_uniforms_hash(pixel_ids, sample_ids, depth, n)
 
 

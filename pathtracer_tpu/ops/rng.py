@@ -49,10 +49,15 @@ def _fmix32(x):
 
 
 def hash_u32(pixel_ids, sample_ids, counter):
-    """Well-mixed u32 from (pixel, sample, counter) — all [B] u32 or scalar."""
+    """Well-mixed u32 from (pixel, sample, counter) — [B] u32 or scalars.
+
+    ``counter`` may be a Python int, scalar, or per-lane [B] array (the
+    regenerative wavefront tracks a per-lane bounce depth).
+    """
+    counter = jnp.asarray(counter).astype(jnp.uint32)
     h = pixel_ids.astype(jnp.uint32) * _C1
     h = _fmix32(h ^ (sample_ids.astype(jnp.uint32) * _C2))
-    h = _fmix32(h ^ (jnp.uint32(counter) * _C3))
+    h = _fmix32(h ^ (counter * _C3))
     return h
 
 
@@ -63,10 +68,11 @@ def hash_uniform(pixel_ids, sample_ids, counter):
 
 
 def bounce_uniforms_hash(pixel_ids, sample_ids, bounce, n: int = STRIDE):
-    """[B, n] uniforms for one bounce; counter = bounce * STRIDE + slot."""
-    base = bounce.astype(jnp.uint32) * jnp.uint32(STRIDE) if hasattr(
-        bounce, "astype"
-    ) else jnp.uint32(bounce * STRIDE)
+    """[B, n] uniforms for one bounce; counter = bounce * STRIDE + slot.
+
+    ``bounce`` may be a scalar or per-lane [B] array.
+    """
+    base = jnp.asarray(bounce).astype(jnp.uint32) * jnp.uint32(STRIDE)
     cols = [
         hash_uniform(pixel_ids, sample_ids, base + jnp.uint32(i)) for i in range(n)
     ]

@@ -56,7 +56,20 @@ def render(
     settings: RenderSettings,
     progress_callback=None,
 ) -> jax.Array:
-    """Full progressive render -> mean radiance [H, W, 3] (pre-tonemap)."""
+    """Full render -> mean radiance [H, W, 3] (pre-tonemap).
+
+    ``settings.scheduler`` picks the engine: "regen" traces all samples in
+    one regenerative-pool call (ops.wavefront); "scan" accumulates one
+    progressive sample wave at a time like the reference's frame loop.
+    """
+    if settings.scheduler == "regen":
+        from pathtracer_tpu.ops.wavefront import render_regenerative
+
+        img = render_regenerative(scene, camera, settings)
+        if progress_callback is not None:
+            progress_callback(settings.samples_per_pixel, settings.samples_per_pixel)
+        return img
+
     frame = {
         k: jnp.asarray(v)
         for k, v in camera.ray_frame(settings.width, settings.height).items()
@@ -69,6 +82,59 @@ def render(
             progress_callback(s + 1, settings.samples_per_pixel)
     mean = acc / settings.samples_per_pixel
     return mean.reshape(settings.height, settings.width, 3)
+
+
+def render_checkpointed(
+    scene: Scene,
+    camera: Camera,
+    settings: RenderSettings,
+    checkpoint_path: str,
+    chunk_samples: int = 8,
+    progress_callback=None,
+) -> jax.Array:
+    """Resumable render: accumulates in chunks, persisting state after each.
+
+    Counter-based RNG makes the resumed result identical to a
+    straight-through render (utils.checkpoint). Kill it at any point and
+    rerun with the same arguments to continue.
+    """
+    from pathtracer_tpu.ops.wavefront import render_pool
+    from pathtracer_tpu.utils.checkpoint import (
+        load_render_state,
+        render_fingerprint,
+        save_render_state,
+    )
+
+    fp = render_fingerprint(scene, settings)
+    n_pixels = settings.width * settings.height
+    state = load_render_state(checkpoint_path, fp)
+    if state is not None:
+        acc, done = jnp.asarray(state[0]), state[1]
+    else:
+        acc, done = jnp.zeros((n_pixels, 3), dtype=jnp.float32), 0
+
+    frame = {
+        k: jnp.asarray(v)
+        for k, v in camera.ray_frame(settings.width, settings.height).items()
+    }
+    spp = settings.samples_per_pixel
+    while done < spp:
+        n = min(chunk_samples, spp - done)
+        img, _, _ = render_pool(
+            scene,
+            frame,
+            settings,
+            n_pixels=n_pixels,
+            batch=min(settings.batch_size, n_pixels * n),
+            rays_per_pixel=n,
+            sample_offset=done,
+        )
+        acc = acc + img
+        done += n
+        save_render_state(checkpoint_path, jax.device_get(acc), done, fp)
+        if progress_callback is not None:
+            progress_callback(done, spp)
+    return (acc / spp).reshape(settings.height, settings.width, 3)
 
 
 def render_image(
