@@ -83,11 +83,59 @@ def parse_mtl(text: str) -> dict[str, ObjMaterial]:
     return materials
 
 
+def _parse_obj_native(obj_text: str):
+    """Geometry parse via the C++ parser (native/obj_parser.cpp).
+
+    Returns (positions, normals, faces, face_normals, face_group,
+    group_names) or None when the native library is unavailable.
+    """
+    import ctypes
+
+    from pathtracer_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+
+    data = obj_text.encode()
+    lib.pt_obj_parse.restype = ctypes.c_void_p
+    h = lib.pt_obj_parse(ctypes.c_char_p(data), ctypes.c_long(len(data)))
+    try:
+        nv = ctypes.c_int64()
+        nvn = ctypes.c_int64()
+        ntri = ctypes.c_int64()
+        nlen = ctypes.c_int64()
+        lib.pt_obj_sizes(
+            ctypes.c_void_p(h),
+            ctypes.byref(nv), ctypes.byref(nvn),
+            ctypes.byref(ntri), ctypes.byref(nlen),
+        )
+        pos = np.empty((nv.value, 3), np.float64)
+        nrm = np.empty((nvn.value, 3), np.float64)
+        faces = np.empty((ntri.value, 3), np.int32)
+        fns = np.empty((ntri.value, 3), np.int32)
+        fgroup = np.empty(ntri.value, np.int32)
+        names_buf = ctypes.create_string_buffer(max(nlen.value, 1))
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.pt_obj_fill(
+            ctypes.c_void_p(h),
+            pos.ctypes.data_as(f64p), nrm.ctypes.data_as(f64p),
+            faces.ctypes.data_as(i32p), fns.ctypes.data_as(i32p),
+            fgroup.ctypes.data_as(i32p), names_buf,
+        )
+        names = names_buf.raw[: nlen.value].decode().split("\n")
+        return pos, nrm, faces, fns, fgroup, names
+    finally:
+        lib.pt_obj_free(ctypes.c_void_p(h))
+
+
 def parse_obj(
     obj_text: str,
     mtl_text: str = "",
     ctm: np.ndarray | None = None,
     ctm_mode: str = "correct",
+    use_native: bool = True,
 ) -> ObjMesh:
     """Parse OBJ text with materials, applying the CTM to geometry.
 
@@ -96,13 +144,34 @@ def parse_obj(
     (``parse-obj.ts:67-72,145-147``); faces before any ``usemtl`` get a
     default black material.
     """
+    mtl_map = parse_mtl(mtl_text) if mtl_text else {}
+
+    if use_native:
+        native = _parse_obj_native(obj_text)
+        if native is not None:
+            pos, nrm, nfaces, fns, fgroup, names = native
+            mats = [mtl_map.get(n, ObjMaterial(name=n)) for n in names]
+            if ctm is not None:
+                if ctm_mode == "compat_ref":
+                    m3 = np.linalg.inv(ctm[:3, :3]).T
+                    pos = pos @ m3.T if len(pos) else pos
+                else:
+                    pos = transform_points(ctm, pos) if len(pos) else pos
+                nrm = transform_normals(ctm, nrm) if len(nrm) else nrm
+            return ObjMesh(
+                positions=pos,
+                normals=nrm,
+                faces=nfaces,
+                face_normals=fns,
+                face_material=fgroup,
+                materials=mats,
+            )
+
     positions: list[tuple[float, float, float]] = []
     normals: list[tuple[float, float, float]] = []
     faces: list[tuple[int, int, int]] = []
     face_normals: list[tuple[int, int, int]] = []
     face_material: list[int] = []
-
-    mtl_map = parse_mtl(mtl_text) if mtl_text else {}
     materials: list[ObjMaterial] = []
     mat_index: dict[str, int] = {}
 
