@@ -34,23 +34,12 @@ from pathtracer_tpu.ops.bsdf import (
     reflect,
     sample_cosine_hemisphere,
 )
-from pathtracer_tpu.ops.intersect import intersect
+from pathtracer_tpu.ops.intersect import closest_hit
 from pathtracer_tpu.ops.lights import sample_area_lights
 
 PI = jnp.pi
 NEE_OFFSET = 1.0e-4  # program-raymarch.wgsl:146
 RAY_OFFSET = 1.0e-3  # ray_with_epsilon, data-structs.wgsl:58-60
-
-
-def _gather_material(scene, mat_id):
-    return {
-        "Ns": scene.mat_Ns[mat_id],
-        "Ni": scene.mat_Ni[mat_id],
-        "illum": scene.mat_illum[mat_id],
-        "Kd": scene.mat_Kd[mat_id],
-        "Ks": scene.mat_Ks[mat_id],
-        "Ke": scene.mat_Ke[mat_id],
-    }
 
 
 def _nee(scene, settings, hit, mat, d, beta, u, active):
@@ -74,8 +63,8 @@ def _nee(scene, settings, hit, mat, d, beta, u, active):
             u[:, i_bary + 1],
             settings.compat_count_light_pdf,
         )
-        shadow = intersect(scene, offset_pt, ldir, settings)
-        s_mat_ke = scene.mat_Ke[shadow.mat_id]
+        shadow, s_mat = closest_hit(scene, offset_pt, ldir, settings)
+        s_mat_ke = s_mat["Ke"]
         s_emissive = shadow.hit & (jnp.sum(s_mat_ke, axis=-1) > 0.0)
 
         d2 = jnp.sum((hit.point - shadow.point) ** 2, axis=-1)
@@ -117,8 +106,7 @@ def bounce_core(scene, settings, o, d, beta, radiance, alive, spec,
     # Live closest-hit rays this bounce (shadow rays counted below).
     n_rays = jnp.sum(alive.astype(jnp.float32))
 
-    hit = intersect(scene, o, d, settings)
-    mat = _gather_material(scene, hit.mat_id)
+    hit, mat = closest_hit(scene, o, d, settings)
     n = hit.normal
 
     active = alive & hit.hit

@@ -226,8 +226,121 @@ def intersect_analytic(scene, o, d):
     return best
 
 
-def intersect(scene, o, d, settings) -> Hit:
-    """Scene closest-hit: triangles + analytic primitives, merged by t."""
+# Above this triangle count, per-winner one-hot matmul extraction (MXU) is
+# replaced by plain gathers: the [B, T] one-hot would cost O(B*T*C) flops.
+ONEHOT_MAX_T = 2048
+
+_MATMUL_EXACT = jax.lax.Precision.HIGHEST  # exact f32 one-hot selection
+
+
+def _onehot_dot(onehot_f32, table):
+    """[B, K] one-hot x [K, C] table -> [B, C], exact in f32 (MXU)."""
+    return jax.lax.dot_general(
+        onehot_f32, table, (((1,), (0,)), ((), ())), precision=_MATMUL_EXACT
+    )
+
+
+def _tri_attr_table(scene, want_vn: bool):
+    """Per-triangle attribute table [T, C] for one-hot winner extraction.
+
+    Channels: n(0:3) Kd(3:6) Ks(6:9) Ke(9:12) Ns(12) Ni(13) illum(14)
+    mat_id(15); with ``want_vn``: v0(16:19) e1(19:22) e2(22:25) vn(25:34).
+    The per-triangle material gathers here are [T]-sized (tiny — T <=
+    ONEHOT_MAX_T on this path) and their VJP scatter-adds straight into the
+    differentiable material arrays.
+    """
+    tm = scene.tri_mat
+    cols = [
+        scene.tri_n,
+        scene.mat_Kd[tm],
+        scene.mat_Ks[tm],
+        scene.mat_Ke[tm],
+        scene.mat_Ns[tm][:, None],
+        scene.mat_Ni[tm][:, None],
+        scene.mat_illum[tm][:, None],
+        tm.astype(jnp.float32)[:, None],
+    ]
+    if want_vn:
+        t = scene.tri_v0.shape[0]
+        cols += [
+            scene.tri_v0,
+            scene.tri_e1,
+            scene.tri_e2,
+            scene.tri_vn.reshape(t, 9),
+        ]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _material_table(scene):
+    """[M, 12] material table: Kd Ks Ke Ns Ni illum."""
+    return jnp.concatenate(
+        [
+            scene.mat_Kd,
+            scene.mat_Ks,
+            scene.mat_Ke,
+            scene.mat_Ns[:, None],
+            scene.mat_Ni[:, None],
+            scene.mat_illum[:, None],
+        ],
+        axis=1,
+    )
+
+
+def _unpack_mat(a, off: int = 0):
+    return {
+        "Kd": a[:, off : off + 3],
+        "Ks": a[:, off + 3 : off + 6],
+        "Ke": a[:, off + 6 : off + 9],
+        "Ns": a[:, off + 9],
+        "Ni": a[:, off + 10],
+        "illum": a[:, off + 11],
+    }
+
+
+def material_lookup(scene, mat_id):
+    """Material record dict for [B] ids via one-hot matmul (no gathers).
+
+    TPU gathers lower to serialized dynamic slices; a one-hot [B, M] @
+    [M, 12] matmul rides the MXU instead (M = #materials, always small).
+    """
+    m = scene.mat_Ns.shape[0]
+    oh = (mat_id[:, None] == jnp.arange(m, dtype=mat_id.dtype)).astype(
+        jnp.float32
+    )
+    return _unpack_mat(_onehot_dot(oh, _material_table(scene)))
+
+
+def _vn_shading_normal(o, d, v0, e1, e2, vn, n_geo):
+    """Barycentric-interpolated shading normal from extracted per-winner
+    triangle data (same math as ``_shading_normal`` minus the gathers)."""
+    pvec = jnp.cross(d, e2)
+    det = jnp.einsum("bk,bk->b", e1, pvec)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > EPS_TRI, det, 1.0)
+    s = o - v0
+    u = jnp.einsum("bk,bk->b", s, pvec) * inv_det
+    qvec = jnp.cross(s, e1)
+    v = jnp.einsum("bk,bk->b", d, qvec) * inv_det
+    n = (
+        (1.0 - u - v)[:, None] * vn[:, 0:3]
+        + u[:, None] * vn[:, 3:6]
+        + v[:, None] * vn[:, 6:9]
+    )
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.maximum(norm, 1e-20)
+    return jnp.where(norm > 1e-12, n, n_geo)
+
+
+def closest_hit(scene, o, d, settings):
+    """Fused scene closest-hit -> (Hit, material dict).
+
+    One call produces both the geometric hit record and the winning lane's
+    full material — the hot-path replacement for intersect-then-gather
+    (gathers dominate on TPU: winner attributes instead come from an exact
+    one-hot [B, T] @ [T, C] matmul on the MXU for small scenes, or a
+    [B, M] material-table matmul otherwise). Miss lanes are sanitized
+    (unit-z normal, Ni = 1) so downstream masked BSDF math stays NaN-free
+    under reverse-mode AD.
+    """
     method = settings.intersector
     if method in ("auto", "brute"):
         t_tri, tri_id = closest_tri_brute(scene, o, d)
@@ -242,16 +355,35 @@ def intersect(scene, o, d, settings) -> Hit:
     else:
         raise ValueError(f"unknown intersector {method!r}")
 
-    safe_id = jnp.maximum(tri_id, 0)
-    n_geo = scene.tri_n[safe_id]
-    mat = scene.tri_mat[safe_id]
+    t_pad = scene.padded_tris
     # Miss lanes keep t = inf but must not produce inf/NaN coordinates:
     # 0 * inf = NaN would poison reverse-mode AD even through masked lanes.
     t_pt = jnp.where(jnp.isfinite(t_tri), t_tri, 0.0)
     point = o + t_pt[:, None] * d
-    n_shade = _shading_normal(
-        scene, o, d, t_tri, safe_id, n_geo, settings.use_vertex_normals
-    )
+
+    if t_pad <= ONEHOT_MAX_T:
+        table = _tri_attr_table(scene, settings.use_vertex_normals)
+        oh = (
+            tri_id[:, None] == jnp.arange(t_pad, dtype=tri_id.dtype)
+        ).astype(jnp.float32)
+        a = _onehot_dot(oh, table)
+        n_geo = a[:, 0:3]
+        mat = _unpack_mat(a, off=3)
+        mat_id = a[:, 15].astype(jnp.int32)
+        if settings.use_vertex_normals:
+            n_shade = _vn_shading_normal(
+                o, d, a[:, 16:19], a[:, 19:22], a[:, 22:25], a[:, 25:34], n_geo
+            )
+        else:
+            n_shade = n_geo
+    else:
+        safe_id = jnp.maximum(tri_id, 0)
+        n_geo = scene.tri_n[safe_id]
+        mat_id = scene.tri_mat[safe_id]
+        mat = material_lookup(scene, mat_id)
+        n_shade = _shading_normal(
+            scene, o, d, t_tri, safe_id, n_geo, settings.use_vertex_normals
+        )
 
     if scene.num_analytic > 0:
         t_a, p_a, n_a, m_a = intersect_analytic(scene, o, d)
@@ -260,16 +392,37 @@ def intersect(scene, o, d, settings) -> Hit:
         point = jnp.where(use_a[:, None], p_a, point)
         n_geo = jnp.where(use_a[:, None], n_a, n_geo)
         n_shade = jnp.where(use_a[:, None], n_a, n_shade)
-        mat = jnp.where(use_a, m_a, mat)
+        mat_id = jnp.where(use_a, m_a, mat_id)
         tri_id = jnp.where(use_a, -1, tri_id)
+        mat_a = material_lookup(scene, m_a)
+        mat = {
+            k: jnp.where(
+                use_a[:, None] if mat[k].ndim == 2 else use_a, mat_a[k], mat[k]
+            )
+            for k in mat
+        }
 
     hit = jnp.isfinite(t_tri)
-    return Hit(
-        hit=hit,
-        t=t_tri,
-        point=point,
-        normal=n_geo,
-        normal_shade=n_shade,
-        mat_id=mat.astype(jnp.int32),
-        tri_id=tri_id,
+    # Sanitize miss lanes (see docstring).
+    unit_z = jnp.zeros_like(n_geo).at[:, 2].set(1.0)
+    n_geo = jnp.where(hit[:, None], n_geo, unit_z)
+    n_shade = jnp.where(hit[:, None], n_shade, unit_z)
+    mat["Ni"] = jnp.where(hit, mat["Ni"], 1.0)
+
+    return (
+        Hit(
+            hit=hit,
+            t=t_tri,
+            point=point,
+            normal=n_geo,
+            normal_shade=n_shade,
+            mat_id=mat_id.astype(jnp.int32),
+            tri_id=tri_id,
+        ),
+        mat,
     )
+
+
+def intersect(scene, o, d, settings) -> Hit:
+    """Scene closest-hit: triangles + analytic primitives, merged by t."""
+    return closest_hit(scene, o, d, settings)[0]
