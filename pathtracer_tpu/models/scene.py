@@ -102,6 +102,10 @@ class RenderSettings:
     use_vertex_normals: bool = False
     # Implementation selection: "auto" | "brute" | "bvh" | "pallas"
     intersector: str = "auto"
+    # NEE shadow rays: "fast" (t-only occlusion sweep; light attributes from
+    # the sample itself) | "closest" (full closest-hit, the reference's
+    # exact shadow semantics — oracle for "fast")
+    shadow_mode: str = "fast"
     # RNG: "hash" (fast murmur3-finalizer counters) | "threefry" (oracle)
     rng: str = "hash"
     # Scheduler: "regen" (regenerative wavefront pool, ~4x faster) |

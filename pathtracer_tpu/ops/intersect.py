@@ -127,6 +127,63 @@ def closest_tri_brute(scene, o, d, tile: int = 512):
     return best_t, best_id
 
 
+def occluded_before(scene, o, d, t_max, settings, rel_eps: float = 1e-3):
+    """Shadow visibility sweep -> (occluded [B] bool, hit_any [B] bool).
+
+    ``occluded``: some surface lies strictly before ``t_max * (1 - rel_eps)``
+    along the ray; ``hit_any``: the ray hits anything at all (the reference's
+    ``directLightingOnly`` break keys on this, program-raymarch.wgsl:184-186).
+
+    This is the t-only half of the closest-hit sweep: same Moller-Trumbore
+    tiles, but no argmin bookkeeping and no winner-attribute extraction —
+    the NEE caller already knows the sampled light point's own attributes
+    (ops.lights.sample_area_lights_detailed).
+    """
+    t_cut = t_max * (1.0 - rel_eps)
+
+    if settings.intersector in ("auto", "brute"):
+        tp = scene.padded_tris
+        tile = min(512, tp)
+        while tp % tile != 0:
+            tile -= 128
+        n_tiles = tp // tile
+        v0 = scene.tri_v0.reshape(n_tiles, tile, 3)
+        e1 = scene.tri_e1.reshape(n_tiles, tile, 3)
+        e2 = scene.tri_e2.reshape(n_tiles, tile, 3)
+        valid = scene.tri_valid.reshape(n_tiles, tile)
+
+        def body(carry, tile_data):
+            occ, any_hit = carry
+            tv0, te1, te2, tvalid = tile_data
+            t, ok = _moller_trumbore(o, d, tv0, te1, te2, tvalid)
+            occ = occ | jnp.any(ok & (t < t_cut[:, None]), axis=1)
+            any_hit = any_hit | jnp.any(ok, axis=1)
+            return (occ, any_hit), None
+
+        zero = (o[:, 0] + d[:, 0]) * 0.0
+        init = (zero != 0.0, zero != 0.0)
+        (occ, any_hit), _ = jax.lax.scan(body, init, (v0, e1, e2, valid))
+    else:
+        # BVH / Pallas configs reuse their closest-hit core (still skips
+        # the attribute-extraction stage, which is the expensive half).
+        if settings.intersector == "pallas":
+            from pathtracer_tpu.ops.intersect_pallas import closest_tri_pallas
+
+            t_tri, _ = closest_tri_pallas(scene, o, d)
+        else:
+            from pathtracer_tpu.ops.bvh_traverse import closest_tri_bvh
+
+            t_tri, _ = closest_tri_bvh(scene, o, d)
+        occ = t_tri < t_cut
+        any_hit = jnp.isfinite(t_tri)
+
+    if scene.num_analytic > 0:
+        t_a, _, _, _ = intersect_analytic(scene, o, d)
+        occ = occ | (t_a < t_cut)
+        any_hit = any_hit | jnp.isfinite(t_a)
+    return occ, any_hit
+
+
 def _shading_normal(scene, o, d, t, tri_id, n_geo, use_vertex_normals: bool):
     if not use_vertex_normals:
         return n_geo

@@ -33,27 +33,9 @@ def sample_area_lights(scene, x, u_choice, u1, u2, compat_count_pdf: bool):
     ``beta * Ke_hit * brdf * cos_l * cos_s / d^2 * weight`` — matching the
     reference call site (program-raymarch.wgsl:146-182).
     """
-    e_pad = scene.emissive_tri.shape[0]
-    n_emissive = jnp.maximum(scene.num_emissive, 1)
-
-    if compat_count_pdf:
-        # Uniform by count (intersection-logic.wgsl:238-257).
-        j = jnp.minimum(
-            (u_choice * n_emissive).astype(jnp.int32), n_emissive - 1
-        )
-        weight = jnp.full(x.shape[0], 1.0, dtype=x.dtype) / n_emissive.astype(
-            x.dtype
-        )
-    else:
-        # Area-weighted: invert the CDF of emissive triangle areas.
-        idx_valid = jnp.arange(e_pad) < scene.num_emissive
-        areas = jnp.where(idx_valid, scene.emissive_area, 0.0)
-        total = jnp.maximum(jnp.sum(areas), 1e-20)
-        cdf = jnp.cumsum(areas) / total
-        j = jnp.searchsorted(cdf, u_choice, side="right").astype(jnp.int32)
-        j = jnp.minimum(j, n_emissive - 1)
-        # Area-form NEE: pdf_A = 1 / total_area -> weight = total_area.
-        weight = jnp.full(x.shape[0], 1.0, dtype=x.dtype) * total
+    # count mode: uniform by count (intersection-logic.wgsl:238-257);
+    # area mode: invert the emissive-area CDF, weight = total area.
+    j, weight = _choose_emissive(scene, x, u_choice, compat_count_pdf)
 
     tri = scene.emissive_tri[j]
     v0 = scene.tri_v0[tri]
@@ -70,3 +52,71 @@ def sample_area_lights(scene, x, u_choice, u1, u2, compat_count_pdf: bool):
         jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-20
     )
     return direction, weight
+
+
+def _choose_emissive(scene, x, u_choice, compat_count_pdf: bool):
+    """Pick an emissive-table index per lane -> (j [B] i32, weight [B])."""
+    e_pad = scene.emissive_tri.shape[0]
+    n_emissive = jnp.maximum(scene.num_emissive, 1)
+    if compat_count_pdf:
+        j = jnp.minimum(
+            (u_choice * n_emissive).astype(jnp.int32), n_emissive - 1
+        )
+        weight = jnp.full(x.shape[0], 1.0, dtype=x.dtype) / n_emissive.astype(
+            x.dtype
+        )
+    else:
+        idx_valid = jnp.arange(e_pad) < scene.num_emissive
+        areas = jnp.where(idx_valid, scene.emissive_area, 0.0)
+        total = jnp.maximum(jnp.sum(areas), 1e-20)
+        cdf = jnp.cumsum(areas) / total
+        j = jnp.searchsorted(cdf, u_choice, side="right").astype(jnp.int32)
+        j = jnp.minimum(j, n_emissive - 1)
+        weight = jnp.full(x.shape[0], 1.0, dtype=x.dtype) * total
+    return j, weight
+
+
+def sample_area_lights_detailed(scene, x, u_choice, u1, u2,
+                                compat_count_pdf: bool):
+    """Light sample carrying the sampled point's own attributes.
+
+    Returns (direction [B, 3], weight [B], point [B, 3], normal [B, 3],
+    Ke [B, 3], t_target [B]). The fast-shadow NEE path (ops.integrator)
+    uses these *analytically known* light attributes instead of re-deriving
+    them from a full closest-hit on the shadow ray — the occlusion test then
+    only needs a t-only sweep (no argmin, no attribute extraction).
+
+    Per-lane attributes come from one one-hot [B, E] @ [E, 15] matmul over
+    the (tiny, padded) emissive table — gathers serialize on TPU.
+    """
+    from pathtracer_tpu.ops.intersect import _onehot_dot
+
+    j, weight = _choose_emissive(scene, x, u_choice, compat_count_pdf)
+
+    # [E, 15] table: v0, p1, p2, n_geo, Ke per emissive triangle. The [E]
+    # gathers building it are tiny (E = padded emissive count); their VJPs
+    # scatter straight into the differentiable material arrays.
+    et = scene.emissive_tri
+    v0_t = scene.tri_v0[et]
+    table = jnp.concatenate(
+        [
+            v0_t,
+            v0_t + scene.tri_e1[et],
+            v0_t + scene.tri_e2[et],
+            scene.tri_n[et],
+            scene.mat_Ke[scene.tri_mat[et]],
+        ],
+        axis=1,
+    )
+    e_pad = et.shape[0]
+    oh = (j[:, None] == jnp.arange(e_pad, dtype=j.dtype)).astype(jnp.float32)
+    a = _onehot_dot(oh, table)
+    v0, p1, p2, n_l, ke = a[:, 0:3], a[:, 3:6], a[:, 6:9], a[:, 9:12], a[:, 12:15]
+
+    b0, b1 = sample_triangle_barycentric(u1, u2)
+    p = b0[:, None] * v0 + b1[:, None] * p1 + (1.0 - b0 - b1)[:, None] * p2
+
+    to_p = p - x
+    t_target = jnp.linalg.norm(to_p, axis=-1)
+    direction = to_p / jnp.maximum(t_target, 1e-20)[:, None]
+    return direction, weight, p, n_l, ke, t_target

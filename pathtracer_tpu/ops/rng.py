@@ -15,6 +15,15 @@ Two interchangeable generators (``RenderSettings.rng``):
   per-ray threefry and far stronger than the reference's single-round hash.
 - ``threefry``: JAX's counter-based threefry keys (crypto-strength; the
   validation oracle for the hash generator).
+
+Cost structure (measured on TPU v5e): u32 multiplies are emulated on the
+VPU, so each full two-round hash of a [256k] batch costs ~0.28 ms — at 7+
+draws per bounce that dominated the non-intersection time. Per-bounce
+draws therefore use *one* full-strength base hash of (pixel, sample,
+bounce) and derive each purpose slot with a single xorshift-multiply
+round over ``base ^ slot_salt`` — the base is already avalanched, so one
+nonlinear round decorrelates slots (validated by the uniformity/
+correlation tests and golden-image MSE).
 """
 
 from __future__ import annotations
@@ -64,28 +73,55 @@ def hash_u32(pixel_ids, sample_ids, counter):
 def hash_uniform(pixel_ids, sample_ids, counter):
     """[B] uniforms in [0, 1) from the hash generator (24-bit mantissa)."""
     bits = hash_u32(pixel_ids, sample_ids, counter)
+    return _u01(bits)
+
+
+def _u01(bits):
+    """u32 bits -> f32 uniform in [0, 1) (top 24 bits)."""
     return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
-def bounce_uniforms_hash(pixel_ids, sample_ids, bounce, n: int = STRIDE):
-    """[B, n] uniforms for one bounce; counter = bounce * STRIDE + slot.
+_XM = jnp.uint32(0x7FEB352D)  # single-round mixer multiplier (degski/xmx)
 
+
+def _xmx(x):
+    """One-multiply finalizer (xorshift-multiply-xorshift).
+
+    Used only to scramble an already-avalanched base hash into per-purpose
+    slots; one u32 multiply instead of fmix32's two.
+    """
+    x = x ^ (x >> 16)
+    x = x * _XM
+    x = x ^ (x >> 15)
+    return x
+
+
+def _slot_salt(i: int) -> int:
+    """Distinct well-spread u32 salt per draw-purpose slot (host-side)."""
+    x = ((i + 1) * 0x9E3779B9) & 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * 0x85EBCA6B) & 0xFFFFFFFF
+    x ^= x >> 13
+    return x
+
+
+def bounce_uniforms_hash(pixel_ids, sample_ids, bounce, n: int = STRIDE):
+    """[B, n] uniforms for one bounce.
+
+    One full-strength base hash of (pixel, sample, bounce), then one cheap
+    nonlinear round per purpose slot (see module docstring for why).
     ``bounce`` may be a scalar or per-lane [B] array.
     """
-    base = jnp.asarray(bounce).astype(jnp.uint32) * jnp.uint32(STRIDE)
-    cols = [
-        hash_uniform(pixel_ids, sample_ids, base + jnp.uint32(i)) for i in range(n)
-    ]
+    base = hash_u32(pixel_ids, sample_ids, bounce)
+    cols = [_u01(_xmx(base ^ jnp.uint32(_slot_salt(i)))) for i in range(n)]
     return jnp.stack(cols, axis=-1)
 
 
 def pixel_jitter_hash(pixel_ids, sample_ids):
     """[B, 2] sub-pixel jitter in [0, 1)."""
+    base = hash_u32(pixel_ids, sample_ids, PIXEL_JITTER)
     return jnp.stack(
-        [
-            hash_uniform(pixel_ids, sample_ids, PIXEL_JITTER),
-            hash_uniform(pixel_ids, sample_ids, PIXEL_JITTER + 1),
-        ],
+        [_u01(base), _u01(_xmx(base ^ jnp.uint32(_slot_salt(1))))],
         axis=-1,
     )
 
