@@ -43,12 +43,29 @@ def main(argv=None) -> int:
         choices=("compat", "area"),
         help="compat = reference's count-based light pdf; area = corrected",
     )
+    p.add_argument(
+        "--shadow-mode",
+        default="fast",
+        choices=("fast", "closest"),
+        help="fast = t-only occlusion sweep; closest = reference semantics",
+    )
+    p.add_argument(
+        "--glossy-brdf",
+        default="phong",
+        choices=("phong", "beckmann"),
+        help="glossy lobe: reference Phong, or corrected Beckmann microfacet",
+    )
     args = p.parse_args(argv)
 
     from pathtracer_tpu.models.scene import load_scene
     from pathtracer_tpu.utils.image import write_png
 
-    overrides = dict(intersector=args.intersector, scheduler=args.scheduler)
+    overrides = dict(
+        intersector=args.intersector,
+        scheduler=args.scheduler,
+        shadow_mode=args.shadow_mode,
+        glossy_brdf=args.glossy_brdf,
+    )
     if args.spp is not None:
         overrides["samples_per_pixel"] = args.spp
     if args.size is not None:

@@ -106,6 +106,11 @@ class RenderSettings:
     # the sample itself) | "closest" (full closest-hit, the reference's
     # exact shadow semantics — oracle for "fast")
     shadow_mode: str = "fast"
+    # Glossy-lane BRDF: "phong" (the reference's live lobe) | "beckmann"
+    # (corrected version of its disabled branch, program-raymarch.wgsl:281)
+    glossy_brdf: str = "phong"
+    # Beckmann roughness; 0 derives alpha = sqrt(2 / (Ns + 2)) per material
+    beckmann_alpha: float = 0.0
     # RNG: "hash" (fast murmur3-finalizer counters) | "threefry" (oracle)
     rng: str = "hash"
     # Scheduler: "regen" (regenerative wavefront pool, ~4x faster) |

@@ -84,6 +84,51 @@ def eval_phong_bounce(ks, ns, w_in, w_out, n):
     return jnp.where((q < 0.0)[:, None], 0.0, spec), q
 
 
+def eval_beckmann(ks, ns, w_in, w_out, n, alpha_override: float = 0.0):
+    """Beckmann microfacet BRDF for glossy lanes (opt-in).
+
+    The reference carries a *disabled* Beckmann branch
+    (program-raymarch.wgsl:281-290, ``enable_beckmann=false``) whose dead
+    code builds the half-vector from the surface normal instead of the
+    outgoing direction and skips the Fresnel/geometry terms. This is the
+    corrected version: h = normalize(-w_in + w_out), Beckmann NDF D(h),
+    Smith G1*G1 shadowing, f = Ks * D * G / (4 cos_i cos_o). Roughness
+    comes from the Phong exponent (alpha = sqrt(2 / (Ns + 2))) unless
+    ``alpha_override`` > 0.
+
+    w_in points into the surface; returns [B, 3] (zero below the horizon).
+    """
+    s = -w_in
+    cos_i = jnp.sum(s * n, axis=-1)
+    cos_o = jnp.sum(w_out * n, axis=-1)
+    h = s + w_out
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
+    cos_h = jnp.clip(jnp.sum(h * n, axis=-1), 1e-6, 1.0)
+
+    if alpha_override > 0.0:
+        alpha = jnp.full_like(cos_h, alpha_override)
+    else:
+        alpha = jnp.sqrt(2.0 / (ns + 2.0))
+    a2 = alpha * alpha
+
+    cos2 = cos_h * cos_h
+    tan2 = (1.0 - cos2) / cos2
+    d_ndf = jnp.exp(-tan2 / a2) / (PI * a2 * cos2 * cos2)
+
+    def g1(cos_v):
+        cv = jnp.clip(jnp.abs(cos_v), 1e-6, 1.0)
+        a = cv / (alpha * jnp.sqrt(jnp.maximum(1.0 - cv * cv, 1e-12)))
+        # Walter et al. rational approximation of the Beckmann G1.
+        g = (3.535 * a + 2.181 * a * a) / (1.0 + 2.276 * a + 2.577 * a * a)
+        return jnp.where(a < 1.6, g, 1.0)
+
+    g = g1(cos_i) * g1(cos_o)
+    denom = jnp.maximum(4.0 * jnp.abs(cos_i) * jnp.abs(cos_o), 1e-6)
+    f = (d_ndf * g / denom)[:, None] * ks
+    above = (cos_i > 0.0) & (cos_o > 0.0)
+    return jnp.where(above[:, None], f, 0.0)
+
+
 def fresnel_schlick(cos_i, eta_i, eta_t):
     """Schlick's approximation (program-raymarch.wgsl:209-211)."""
     r0 = ((eta_i - eta_t) / (eta_i + eta_t)) ** 2

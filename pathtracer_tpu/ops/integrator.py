@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from pathtracer_tpu.ops import rng
 from pathtracer_tpu.ops.bsdf import (
     dielectric_directions,
+    eval_beckmann,
     eval_phong,
     eval_phong_bounce,
     reflect,
@@ -103,9 +104,16 @@ def _nee(scene, settings, hit, mat, d, beta, u, active):
             phong_lane = mat["Ns"] == 40.0
         else:
             phong_lane = jnp.sum(mat["Ks"], axis=-1) > 0.0
-        brdf_phong = eval_phong(mat["Ks"], mat["Ns"], d, ldir, n, mat["Kd"])
+        if settings.glossy_brdf == "beckmann":
+            brdf_gloss = eval_beckmann(
+                mat["Ks"], mat["Ns"], d, ldir, n, settings.beckmann_alpha
+            )
+        else:
+            brdf_gloss = eval_phong(
+                mat["Ks"], mat["Ns"], d, ldir, n, mat["Kd"]
+            )
         brdf_diff = mat["Kd"] / PI
-        brdf = jnp.where(phong_lane[:, None], brdf_phong, brdf_diff)
+        brdf = jnp.where(phong_lane[:, None], brdf_gloss, brdf_diff)
 
         cos_s = jnp.sum(n * ldir, axis=-1)
         term = (
@@ -181,9 +189,15 @@ def bounce_core(scene, settings, o, d, beta, radiance, alive, spec,
         n, u[:, rng.BSDF_DIR], u[:, rng.BSDF_DIR + 1]
     )
     glossy_lane = (jnp.sum(mat["Ks"], axis=-1) > 0.0) & ~specular_lane
-    brdf_phong, q = eval_phong_bounce(mat["Ks"], mat["Ns"], d, samp_dir, n)
+    if settings.glossy_brdf == "beckmann":
+        brdf_gloss = eval_beckmann(
+            mat["Ks"], mat["Ns"], d, samp_dir, n, settings.beckmann_alpha
+        )
+        q = jnp.sum(reflect(d, n) * samp_dir, axis=-1)
+    else:
+        brdf_gloss, q = eval_phong_bounce(mat["Ks"], mat["Ns"], d, samp_dir, n)
     brdf_diff = mat["Kd"] / PI
-    brdf = jnp.where(glossy_lane[:, None], brdf_phong, brdf_diff)
+    brdf = jnp.where(glossy_lane[:, None], brdf_gloss, brdf_diff)
 
     new_d = jnp.where(
         specular_lane[:, None],

@@ -185,6 +185,53 @@ class TestRadiance:
         assert direct < full
         assert direct > 0.0
 
+    def test_shadow_modes_agree(self, box):
+        """fast (t-only occlusion) vs closest (full closest-hit, reference
+        semantics): identical on single-light scenes like the CornellBox
+        up to the analytic-vs-hit light attributes (float-level)."""
+        scene, camera = box
+        fast = RenderSettings(width=16, height=16, max_depth=5)
+        slow = RenderSettings(
+            width=16, height=16, max_depth=5, shadow_mode="closest"
+        )
+        o, d, pids, sids = _rays(camera, fast, 256)
+        rf = np.maximum(np.asarray(radiance_batch(scene, fast, o, d, pids, sids)), 0)
+        rc = np.maximum(np.asarray(radiance_batch(scene, slow, o, d, pids, sids)), 0)
+        np.testing.assert_allclose(rf, rc, rtol=2e-3, atol=2e-3)
+
+    def test_beckmann_glossy_runs(self, box):
+        scene, camera = box
+        settings = RenderSettings(
+            width=16, height=16, max_depth=4, glossy_brdf="beckmann"
+        )
+        o, d, pids, sids = _rays(camera, settings, 256)
+        r = np.asarray(radiance_batch(scene, settings, o, d, pids, sids))
+        assert np.isfinite(r).all()
+        assert np.maximum(r, 0.0).mean() > 0.0
+
+    def test_beckmann_brdf_properties(self):
+        """Reciprocity-ish sanity: above-horizon, finite, scales with Ks,
+        peaks toward the mirror direction."""
+        from pathtracer_tpu.ops.bsdf import eval_beckmann
+
+        n = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (3, 1))
+        w_in = jnp.tile(
+            jnp.array([[0.6, 0.0, -0.8]]), (3, 1)
+        )  # incoming, into surface
+        mirror = jnp.array([[0.6, 0.0, 0.8]])
+        off = jnp.array([[0.0, 0.6, 0.8]])
+        below = jnp.array([[0.6, 0.0, -0.8]])
+        w_out = jnp.concatenate([mirror, off, below])
+        ks = jnp.ones((3, 3))
+        ns = jnp.full((3,), 40.0)
+        f = np.asarray(eval_beckmann(ks, ns, w_in, w_out, n))
+        assert np.isfinite(f).all()
+        assert (f >= 0).all()
+        assert f[0, 0] > f[1, 0]  # mirror direction beats off-specular
+        assert f[2, 0] == 0.0  # below horizon -> zero
+        f2 = np.asarray(eval_beckmann(2.0 * ks, ns, w_in, w_out, n))
+        np.testing.assert_allclose(f2, 2.0 * f, rtol=1e-6)
+
     def test_threefry_mode_runs(self, box):
         scene, camera = box
         settings = RenderSettings(width=8, height=8, max_depth=3, rng="threefry")
