@@ -30,6 +30,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--spp", type=int, default=16)
+    p.add_argument(
+        "--scene",
+        default="cornell",
+        choices=("cornell", "boat"),
+        help="cornell: procedural CornellBox twin (36 tris); "
+        "boat: MedievalBoat.xml large-mesh stressor (12.5k tris)",
+    )
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--intersector", default="auto")
     p.add_argument("--scheduler", default="regen", choices=("regen", "scan"))
@@ -45,7 +52,16 @@ def main():
     from pathtracer_tpu.ops.camera_rays import generate_rays
     from pathtracer_tpu.ops.integrator import radiance_batch_stats
 
-    scene, camera = cornell_box_scene()
+    if args.scene == "boat":
+        from pathtracer_tpu.models.scene import scene_from_graph
+        from pathtracer_tpu.models.scenegraph import load_scenegraph
+
+        graph = load_scenegraph("/root/reference/scene_assets/MedievalBoat.xml")
+        scene, camera = scene_from_graph(
+            graph, "/root/reference/scene_assets"
+        )
+    else:
+        scene, camera = cornell_box_scene()
     settings = RenderSettings(
         width=args.size,
         height=args.size,
@@ -116,7 +132,7 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-        "workload": f"cornell_{args.size}x{args.size}_spp{args.spp}",
+        "workload": f"{args.scene}_{args.size}x{args.size}_spp{args.spp}",
         "paths_per_sec": round(n_pixels * args.spp / dt, 1),
         "wall_s": round(dt, 3),
         "device": str(jax.devices()[0]),
