@@ -243,12 +243,16 @@ def occluded_before(scene, o, d, t_max, settings, rel_eps: float = 1e-3):
         init = (zero != 0.0, zero != 0.0)
         (occ, any_hit), _ = jax.lax.scan(body, init, (v0, e1, e2, valid))
     else:
-        # BVH / Pallas configs reuse their closest-hit core (still skips
-        # the attribute-extraction stage, which is the expensive half).
+        # BVH / Pallas / cluster configs reuse their closest-hit core (still
+        # skips the attribute-extraction stage, which is the expensive half).
         if settings.intersector == "pallas":
             from pathtracer_tpu.ops.intersect_pallas import closest_tri_pallas
 
             t_tri, _ = closest_tri_pallas(scene, o, d)
+        elif settings.intersector == "cluster":
+            from pathtracer_tpu.ops.intersect_cluster import closest_tri_cluster
+
+            t_tri, _ = closest_tri_cluster(scene, o, d)
         else:
             from pathtracer_tpu.ops.bvh_traverse import closest_tri_bvh
 
@@ -488,6 +492,10 @@ def closest_hit(scene, o, d, settings):
         from pathtracer_tpu.ops.bvh_traverse import closest_tri_bvh
 
         t_tri, tri_id = closest_tri_bvh(scene, o, d)
+    elif method == "cluster":
+        from pathtracer_tpu.ops.intersect_cluster import closest_tri_cluster
+
+        t_tri, tri_id = closest_tri_cluster(scene, o, d)
     else:
         raise ValueError(f"unknown intersector {method!r}")
 
