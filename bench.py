@@ -1,29 +1,97 @@
-"""Benchmark harness: rays/sec/chip on the CornellBox headline workload.
+"""Benchmark harness: rays/sec/chip + MSE vs the reference ground truth.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "mse": {...}}
 
-The reference publishes no numbers (BASELINE.md: "published": {}); the
-baseline constant below is a nominal WebGPU-class figure for this workload
-(one ray segment = one closest-hit or shadow-ray traversal), so vs_baseline
-is a speedup ratio against the class of hardware the reference ran on.
+Headline workload: CornellBox (procedural twin of scene_assets
+CornellBox-Original), 512x512 spp16, full GI, rr=0.9, depth<=17, regen
+scheduler — matching scene_files/final/cornell_box_full_lighting.ini. Ray
+counts are the integrator's real live-lane counters, not grid size.
 
-Workload: CornellBox (procedural twin of scene_assets CornellBox-Original),
-512x512, progressive sample waves, full GI integrator, rr=0.9, depth<=17 —
-matching scene_files/final/cornell_box_full_lighting.ini. Ray counts are
-the integrator's real live-lane counters, not grid size.
+The reference publishes no numbers (BASELINE.md: "published": {}), so the
+defensible metrics are absolute rays/s and MSE vs its ground-truth images
+(`scene_assets/ground_truth/final/*.png`, pairing table
+submission-final.md:20-27). ``vs_baseline`` is anchored to this repo's own
+round-1 measurement on the same hardware (BENCH_r01.json: 118.0 Mray/s) so
+it tracks round-over-round improvement against a *measured* number.
+
+``--mse`` (default on when the reference assets exist) renders all six
+final configs at their full 512x512 resolution and INI spp on the device
+and reports per-config MSE against both ground_truth (instructor renderer)
+and student_outputs (the reference code's own renders), plus the
+BASELINE.json north-star point: CornellBox 512x512 @ 1024 spp.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
-# Nominal reference-class throughput (WebGPU student path tracer on a
-# desktop GPU): ~20 M ray segments/s. No published figure exists
-# (BASELINE.md); this anchors vs_baseline as a hardware-class speedup.
-BASELINE_RAYS_PER_SEC = 2.0e7
+# Round-1 measured headline on TPU v5 lite (BENCH_r01.json). vs_baseline is
+# the speedup over this repo's own first measured number — the reference
+# publishes nothing to compare against (BASELINE.md).
+R01_RAYS_PER_SEC = 118.0e6
+
+REFERENCE_ROOT = os.environ.get("PT_TPU_REFERENCE_ROOT", "/root/reference")
+
+FINAL_CONFIGS = (
+    "cornell_box_full_lighting",
+    "cornell_box_direct_lighting_only",
+    "cornell_box_full_lighting_low_probability",
+    "mirror",
+    "glossy",
+    "refraction",
+)
+
+
+def _require_reference(path: str) -> None:
+    if not os.path.exists(path):
+        raise SystemExit(
+            f"reference asset {path!r} not found; set PT_TPU_REFERENCE_ROOT "
+            "to the reference checkout (or pass --no-mse / --scene cornell)"
+        )
+
+
+def _render_config_mse(name: str, spp_override: int | None = None):
+    """Render one final config at full size/spp -> (mse_gt, mse_student,
+    rays/s, wall_s, spp)."""
+    import jax
+
+    from pathtracer_tpu.models.scene import load_scene
+    from pathtracer_tpu.ops.tonemap import tonemap_reference
+    from pathtracer_tpu.ops.wavefront import render_regenerative_stats
+    from pathtracer_tpu.utils.image import mse, read_png
+
+    ini = os.path.join(REFERENCE_ROOT, "scene_files/final", name + ".ini")
+    _require_reference(ini)
+    overrides = {}
+    if spp_override is not None:
+        overrides["samples_per_pixel"] = spp_override
+    scene, camera, settings, _ = load_scene(ini, **overrides)
+
+    # Compile outside the timed region.
+    mean, n_rays, _ = render_regenerative_stats(scene, camera, settings)
+    jax.block_until_ready(mean)
+    t0 = time.perf_counter()
+    mean, n_rays, _ = render_regenerative_stats(scene, camera, settings)
+    jax.block_until_ready(mean)
+    wall = time.perf_counter() - t0
+
+    img = jax.device_get(tonemap_reference(mean))
+    out = {
+        "rays_per_sec": round(float(n_rays) / wall, 1),
+        "wall_s": round(wall, 3),
+        "spp": settings.samples_per_pixel,
+    }
+    gt = os.path.join(REFERENCE_ROOT, "scene_assets/ground_truth/final", name + ".png")
+    st = os.path.join(REFERENCE_ROOT, "student_outputs/final", name + ".png")
+    if os.path.exists(gt):
+        out["mse_ground_truth"] = round(mse(img, read_png(gt)), 6)
+    if os.path.exists(st):
+        out["mse_student_output"] = round(mse(img, read_png(st)), 6)
+    return out
 
 
 def main():
@@ -40,7 +108,16 @@ def main():
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--intersector", default="auto")
     p.add_argument("--scheduler", default="regen", choices=("regen", "scan"))
-    p.add_argument("--mse", action="store_true", help="also report MSE vs golden")
+    mse_group = p.add_mutually_exclusive_group()
+    mse_group.add_argument(
+        "--mse", dest="mse", action="store_true", default=None,
+        help="render all six final configs full-size and report MSE",
+    )
+    mse_group.add_argument("--no-mse", dest="mse", action="store_false")
+    p.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="capture a jax.profiler device trace of the timed region",
+    )
     args = p.parse_args()
 
     import jax
@@ -51,14 +128,17 @@ def main():
     from pathtracer_tpu.ops import rng
     from pathtracer_tpu.ops.camera_rays import generate_rays
     from pathtracer_tpu.ops.integrator import radiance_batch_stats
+    from pathtracer_tpu.utils.profiling import trace
 
     if args.scene == "boat":
         from pathtracer_tpu.models.scene import scene_from_graph
         from pathtracer_tpu.models.scenegraph import load_scenegraph
 
-        graph = load_scenegraph("/root/reference/scene_assets/MedievalBoat.xml")
+        boat_xml = os.path.join(REFERENCE_ROOT, "scene_assets/MedievalBoat.xml")
+        _require_reference(boat_xml)
+        graph = load_scenegraph(boat_xml)
         scene, camera = scene_from_graph(
-            graph, "/root/reference/scene_assets"
+            graph, os.path.join(REFERENCE_ROOT, "scene_assets")
         )
     else:
         scene, camera = cornell_box_scene()
@@ -76,6 +156,7 @@ def main():
     n_pixels = args.size * args.size
     pixel_ids = jnp.arange(n_pixels, dtype=jnp.uint32)
 
+    import contextlib
     import functools
 
     @functools.partial(jax.jit, static_argnames=())
@@ -87,6 +168,8 @@ def main():
             scene, settings, o, d, pixel_ids, sample_ids
         )
         return jnp.maximum(rad, 0.0), n_rays
+
+    traced = trace(args.trace) if args.trace else contextlib.nullcontext()
 
     if args.scheduler == "regen":
         from pathtracer_tpu.ops.wavefront import render_pool
@@ -104,9 +187,10 @@ def main():
             return float(n_rays)
 
         run()  # compile
-        t0 = time.perf_counter()
-        total_rays = run()
-        dt = time.perf_counter() - t0
+        with traced:
+            t0 = time.perf_counter()
+            total_rays = run()
+            dt = time.perf_counter() - t0
     else:
         # Warmup (compile) then timed samples.
         for s in range(args.warmup):
@@ -115,12 +199,13 @@ def main():
 
         acc = jnp.zeros((n_pixels, 3))
         total_rays = 0.0
-        t0 = time.perf_counter()
-        for s in range(args.spp):
-            r, n = wave(scene, frame, jnp.uint32(s))
-            acc = acc + r
-        jax.block_until_ready(acc)
-        dt = time.perf_counter() - t0
+        with traced:
+            t0 = time.perf_counter()
+            for s in range(args.spp):
+                r, n = wave(scene, frame, jnp.uint32(s))
+                acc = acc + r
+            jax.block_until_ready(acc)
+            dt = time.perf_counter() - t0
         # Ray counts are deterministic per sample; fetch after timing.
         for s in range(args.spp):
             _, n = wave(scene, frame, jnp.uint32(s))
@@ -131,7 +216,9 @@ def main():
         "metric": "rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "vs_baseline": round(rays_per_sec / R01_RAYS_PER_SEC, 3),
+        "baseline_note": "vs this repo's round-1 measured headline "
+        "(118.0 Mray/s, BENCH_r01.json); reference publishes no numbers",
         "workload": f"{args.scene}_{args.size}x{args.size}_spp{args.spp}",
         "paths_per_sec": round(n_pixels * args.spp / dt, 1),
         "wall_s": round(dt, 3),
@@ -139,6 +226,24 @@ def main():
         "intersector": args.intersector,
         "scheduler": args.scheduler,
     }
+    if args.trace:
+        result["trace_dir"] = args.trace
+
+    do_mse = args.mse
+    if do_mse is None:
+        do_mse = args.scene == "cornell" and os.path.exists(
+            os.path.join(REFERENCE_ROOT, "scene_assets/ground_truth/final")
+        )
+    if do_mse:
+        mse_out = {}
+        for name in FINAL_CONFIGS:
+            mse_out[name] = _render_config_mse(name)
+        # BASELINE.json north-star point: CornellBox 512^2 @ 1024 spp.
+        mse_out["cornell_box_full_lighting_spp1024"] = _render_config_mse(
+            "cornell_box_full_lighting", spp_override=1024
+        )
+        result["mse"] = mse_out
+
     print(json.dumps(result))
 
 

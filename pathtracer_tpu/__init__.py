@@ -23,5 +23,26 @@ which is the idiomatic mapping onto the TPU's 8x128 vector lanes and MXU.
 
 __version__ = "0.1.0"
 
-from pathtracer_tpu.models.scene import load_scene, Scene, RenderSettings  # noqa: F401
-from pathtracer_tpu.render import render, render_image  # noqa: F401
+# Lazy exports (PEP 562). Eager imports would pull in modules whose
+# module-level jnp constants initialize the XLA backend at import time —
+# which must not happen before jax.distributed.initialize() on multi-host
+# runs (parallel.distributed).
+_EXPORTS = {
+    "load_scene": "pathtracer_tpu.models.scene",
+    "Scene": "pathtracer_tpu.models.scene",
+    "RenderSettings": "pathtracer_tpu.models.scene",
+    "render": "pathtracer_tpu.render",
+    "render_image": "pathtracer_tpu.render",
+}
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+
+        return getattr(importlib.import_module(_EXPORTS[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_EXPORTS))

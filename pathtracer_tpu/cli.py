@@ -28,7 +28,11 @@ def main(argv=None) -> int:
     p.add_argument(
         "--intersector",
         default="auto",
-        choices=("auto", "brute", "bvh", "pallas"),
+        choices=("auto", "brute", "bvh", "pallas", "cluster"),
+    )
+    p.add_argument(
+        "--seed", type=int, default=0,
+        help="RNG stream seed (0 = the goldens' stream)",
     )
     p.add_argument("--tonemap", default="reference")
     p.add_argument("--scheduler", default="regen", choices=("regen", "scan"))
@@ -65,6 +69,7 @@ def main(argv=None) -> int:
         scheduler=args.scheduler,
         shadow_mode=args.shadow_mode,
         glossy_brdf=args.glossy_brdf,
+        seed=args.seed,
     )
     if args.spp is not None:
         overrides["samples_per_pixel"] = args.spp
@@ -107,9 +112,17 @@ def main(argv=None) -> int:
         import jax
 
         from pathtracer_tpu.ops.tonemap import TONEMAPS
-        from pathtracer_tpu.parallel.render import render_sharded
+        from pathtracer_tpu.parallel.render import (
+            render_pool_sharded,
+            render_sharded,
+        )
 
-        mean = render_sharded(scene, camera, settings, progress_callback=progress)
+        if settings.scheduler == "regen":
+            mean = render_pool_sharded(scene, camera, settings)
+        else:
+            mean = render_sharded(
+                scene, camera, settings, progress_callback=progress
+            )
         img = jax.device_get(TONEMAPS[args.tonemap](mean))
     else:
         from pathtracer_tpu.render import render_image

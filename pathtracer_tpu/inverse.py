@@ -33,9 +33,14 @@ from pathtracer_tpu.parallel.mesh import RAY_AXIS
 PARAM_FIELDS = ("mat_Kd", "mat_Ke", "mat_Ks")
 
 
-def material_params(scene) -> dict:
-    """Extract the differentiable material arrays from a Scene."""
-    return {f: getattr(scene, f) for f in PARAM_FIELDS}
+def material_params(scene, fields=PARAM_FIELDS) -> dict:
+    """Extract the differentiable material arrays from a Scene.
+
+    ``fields`` restricts which arrays are optimized (e.g. ``("mat_Kd",)``
+    to fit albedo with known emission); unlisted fields stay frozen at the
+    scene's values.
+    """
+    return {f: getattr(scene, f) for f in fields}
 
 
 def with_material_params(scene, params: dict):
@@ -46,11 +51,7 @@ def with_material_params(scene, params: dict):
 def _render_rows(params, scene, settings, frame, pixel_ids, sample_ids):
     """Radiance for a pixel subset [b] under the given material params."""
     scene = with_material_params(scene, params)
-    if settings.rng == "threefry":
-        keys = rng.ray_keys(jax.random.PRNGKey(0), pixel_ids, sample_ids)
-        jitter = rng.pixel_jitter_threefry(keys)
-    else:
-        jitter = rng.pixel_jitter_hash(pixel_ids, sample_ids)
+    jitter = rng.pixel_jitter(settings, pixel_ids, sample_ids)
     o, d = generate_rays(frame, settings.width, settings.height, pixel_ids, jitter)
     return jnp.maximum(
         radiance_batch(scene, settings, o, d, pixel_ids, sample_ids), 0.0
@@ -63,8 +64,39 @@ def pixel_loss(params, scene, settings, frame, target_rows, pixel_ids, sample_id
     return jnp.mean((rad - target_rows) ** 2)
 
 
+def _paired_objective(
+    params, scene, settings, frame, target_rows, pixel_ids, ids_a, ids_b
+):
+    """Surrogate whose gradient is an *unbiased* estimate of d MSE(E[X], t).
+
+    A naive MSE on a Monte Carlo render is biased: E[(X - t)^2] =
+    (E[X] - t)^2 + Var(X), so gradient descent trades brightness for lower
+    path variance (renders drift dark). The standard fix is two independent
+    sample waves with cross stop-gradients:
+
+        d/dθ mean[ sg(X_a - t)·X_b + sg(X_b - t)·X_a ]
+          = E[(X_a - t)]·dE[X_b] + E[(X_b - t)]·dE[X_a]
+          = 2 (E[X] - t)·dE[X]  =  d/dθ (E[X] - t)^2,
+
+    because X_a ⟂ X_b. With ids_a == ids_b this reduces exactly to the
+    plain per-wave MSE gradient. Returns (surrogate, monitoring MSE of the
+    2-wave mean estimate).
+    """
+    rad_a = _render_rows(params, scene, settings, frame, pixel_ids, ids_a)
+    rad_b = _render_rows(params, scene, settings, frame, pixel_ids, ids_b)
+    resid_a = jax.lax.stop_gradient(rad_a) - target_rows
+    resid_b = jax.lax.stop_gradient(rad_b) - target_rows
+    surrogate = jnp.mean(resid_a * rad_b + resid_b * rad_a)
+    monitor = jnp.mean((0.5 * (rad_a + rad_b) - target_rows) ** 2)
+    return surrogate, monitor
+
+
 def make_train_step(settings, optimizer, mesh=None):
     """Jitted SGD/Adam step over material params.
+
+    The step takes TWO sample-id arrays (independent waves) for the
+    unbiased paired gradient (``_paired_objective``); pass the same array
+    twice for the plain biased-MSE gradient.
 
     With ``mesh``: pixels shard over the ``rays`` axis via ``shard_map``,
     per-shard loss/grads are ``psum``-averaged (the collective rides ICI),
@@ -72,9 +104,11 @@ def make_train_step(settings, optimizer, mesh=None):
     data-parallel training step the driver's multichip dryrun exercises.
     """
 
-    def loss_and_grad_local(params, scene, frame, target_rows, pixel_ids, sample_ids):
-        loss, grads = jax.value_and_grad(pixel_loss)(
-            params, scene, settings, frame, target_rows, pixel_ids, sample_ids
+    def loss_and_grad_local(
+        params, scene, frame, target_rows, pixel_ids, ids_a, ids_b
+    ):
+        (_, loss), grads = jax.value_and_grad(_paired_objective, has_aux=True)(
+            params, scene, settings, frame, target_rows, pixel_ids, ids_a, ids_b
         )
         if mesh is not None:
             # Equal-sized shards: global mean = mean of shard means. The
@@ -90,19 +124,35 @@ def make_train_step(settings, optimizer, mesh=None):
         loss_and_grad = jax.shard_map(
             loss_and_grad_local,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+            in_specs=(
+                P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
+                P(RAY_AXIS),
+            ),
             out_specs=(P(), P()),
         )
     else:
         loss_and_grad = loss_and_grad_local
 
     @jax.jit
-    def train_step(params, opt_state, scene, frame, target_rows, pixel_ids, sample_ids):
+    def train_step(
+        params, opt_state, scene, frame, target_rows, pixel_ids,
+        sample_ids_a, sample_ids_b,
+    ):
         loss, grads = loss_and_grad(
-            params, scene, frame, target_rows, pixel_ids, sample_ids
+            params, scene, frame, target_rows, pixel_ids, sample_ids_a,
+            sample_ids_b,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
+        # Project onto the physical range: albedo/specular in [0, 1],
+        # emission >= 0. Bounds the Adam random walk on parameters with
+        # weak pixel coverage (Adam rescales even noise-dominated
+        # gradients to full lr-sized steps).
+        clips = {"mat_Kd": (0.0, 1.0), "mat_Ks": (0.0, 1.0), "mat_Ke": (0.0, None)}
+        params = {
+            k: jnp.clip(v, *clips[k]) if k in clips else v
+            for k, v in params.items()
+        }
         return params, opt_state, loss
 
     return train_step
@@ -118,17 +168,42 @@ def recover_materials(
     init_params: dict | None = None,
     mesh=None,
     callback=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 10,
+    fields=PARAM_FIELDS,
+    stop_after: int | None = None,
 ):
     """Gradient-descent recovery of material arrays from a target render.
 
     ``target_image``: [H, W, 3] mean radiance (pre-tonemap). Returns
     (recovered params, list of losses). BASELINE.json config 5.
+
+    ``checkpoint_path``: persist (params, optimizer state, step) every
+    ``checkpoint_every`` steps via ``utils.checkpoint.save_pytree`` and
+    resume from it when present. Sample ids derive from the step index, so
+    a resumed run is bit-identical to one that ran straight through.
     """
+    import os
+
     import optax
 
-    optimizer = optax.adam(learning_rate)
-    params = init_params or material_params(scene)
+    from pathtracer_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    # Adam moves each parameter ~lr per step regardless of scale, so the
+    # peak lr must cover the largest parameter excursion (emission is
+    # O(10)); cosine decay then polishes the O(1) albedos. Adam's
+    # per-parameter normalization handles the 20x Kd-vs-Ke scale spread.
+    optimizer = optax.adam(
+        optax.cosine_decay_schedule(learning_rate, max(steps, 1))
+    )
+    params = init_params or material_params(scene, fields)
     opt_state = optimizer.init(params)
+    start = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        params, opt_state, start_arr = load_pytree(
+            checkpoint_path, (params, opt_state, jnp.int32(0))
+        )
+        start = int(start_arr)
     train_step = make_train_step(settings, optimizer, mesh=mesh)
 
     frame = {
@@ -139,14 +214,26 @@ def recover_materials(
     pixel_ids = jnp.arange(n_pixels, dtype=jnp.uint32)
     target_rows = jnp.asarray(target_image).reshape(n_pixels, 3)
 
+    # ``stop_after`` bounds this run's steps while keeping the lr schedule
+    # on the full ``steps`` horizon — a later resumed run is then
+    # bit-identical to one that ran straight through.
+    end = steps if stop_after is None else min(steps, start + stop_after)
     losses = []
-    for step_idx in range(steps):
-        # Fresh sample index per step -> fresh paths -> unbiased SGD noise.
-        sample_ids = jnp.full((n_pixels,), step_idx, dtype=jnp.uint32)
+    for step_idx in range(start, end):
+        # Two fresh independent waves per step (see _paired_objective).
+        ids_a = jnp.full((n_pixels,), 2 * step_idx, dtype=jnp.uint32)
+        ids_b = jnp.full((n_pixels,), 2 * step_idx + 1, dtype=jnp.uint32)
         params, opt_state, loss = train_step(
-            params, opt_state, scene, frame, target_rows, pixel_ids, sample_ids
+            params, opt_state, scene, frame, target_rows, pixel_ids,
+            ids_a, ids_b,
         )
         losses.append(float(loss))
         if callback is not None:
             callback(step_idx, losses[-1], params)
+        if checkpoint_path and (
+            (step_idx + 1) % checkpoint_every == 0 or step_idx + 1 == end
+        ):
+            save_pytree(
+                checkpoint_path, (params, opt_state, jnp.int32(step_idx + 1))
+            )
     return params, losses

@@ -74,9 +74,11 @@ def cornell_box_mesh() -> ObjMesh:
     add(_quad((-1, 0, -1), (1, 0, -1), (1, 2, -1), (-1, 2, -1)), 0)  # back
     add(_quad((-1, 0, -1), (-1, 2, -1), (-1, 2, 1), (-1, 0, 1)), 1)  # left red
     add(_quad((1, 0, -1), (1, 0, 1), (1, 2, 1), (1, 2, -1)), 2)  # right green
-    # Light quad just below the ceiling.
-    add(_quad((-0.24, 1.98, -0.22), (-0.24, 1.98, 0.16),
-              (0.23, 1.98, 0.16), (0.23, 1.98, -0.22)), 3)
+    # Light quad just below the ceiling, emitting downward: winding chosen
+    # so cross(b-a, c-a) points -y (NEE weights contributions by the
+    # light-side cosine, so an upward normal blacks out the room).
+    add(_quad((-0.24, 1.98, -0.22), (0.23, 1.98, -0.22),
+              (0.23, 1.98, 0.16), (-0.24, 1.98, 0.16)), 3)
     # Two boxes.
     add(_box_quads((-0.55, 0.0, -0.55), (0.0, 1.2, -0.05)), 0)  # tall
     add(_box_quads((0.1, 0.0, 0.05), (0.65, 0.6, 0.6)), 0)  # short

@@ -114,6 +114,8 @@ class RenderSettings:
     beckmann_alpha: float = 0.0
     # RNG: "hash" (fast murmur3-finalizer counters) | "threefry" (oracle)
     rng: str = "hash"
+    # RNG stream seed (0 = the goldens' stream). Honored by both generators.
+    seed: int = 0
     # Scheduler: "regen" (regenerative wavefront pool, ~4x faster) |
     # "scan" (fixed-depth wave per sample; the differentiable path)
     scheduler: str = "regen"

@@ -60,9 +60,16 @@ def _nee(scene, settings, hit, mat, d, beta, u, active):
       (program-raymarch.wgsl:146-187), where a shadow ray reaching a
       *different* emissive than sampled still contributes. Oracle for the
       fast path (they differ only on overlapping-light geometries).
+
+    Shading uses ``hit.normal_shade`` (barycentric-interpolated vertex
+    normals when ``settings.use_vertex_normals``; equal to the geometric
+    normal otherwise) — the feature the reference parsed out and abandoned
+    (parse-obj.ts:41-55, intersection-logic.wgsl:81-108). The NEE origin
+    offset stays on the *geometric* normal to avoid shadow acne from
+    shading/geometric disagreement at silhouettes.
     """
-    n = hit.normal
-    offset_pt = hit.point + n * NEE_OFFSET
+    n = hit.normal_shade
+    offset_pt = hit.point + hit.normal * NEE_OFFSET
 
     contrib = jnp.zeros_like(beta)
     shadow_any = jnp.zeros(beta.shape[0], dtype=bool)
@@ -148,7 +155,9 @@ def bounce_core(scene, settings, o, d, beta, radiance, alive, spec,
     n_rays = jnp.sum(alive.astype(jnp.float32))
 
     hit, mat = closest_hit(scene, o, d, settings)
-    n = hit.normal
+    # Shading normal: interpolated vertex normals when enabled (equal to the
+    # geometric normal otherwise) — drives all BSDF eval/sampling below.
+    n = hit.normal_shade
 
     active = alive & hit.hit
     emissive = jnp.sum(mat["Ke"], axis=-1) > 0.0
@@ -250,13 +259,17 @@ def _uniforms(settings, pixel_ids, sample_ids, depth, n):
     ``depth`` may be a scalar or a per-lane [B] array.
     """
     if settings.rng == "threefry":
-        keys = rng.ray_keys(jax.random.PRNGKey(0), pixel_ids, sample_ids)
+        keys = rng.ray_keys(
+            jax.random.PRNGKey(settings.seed), pixel_ids, sample_ids
+        )
         depth_arr = jnp.broadcast_to(
             jnp.asarray(depth, dtype=jnp.uint32), pixel_ids.shape
         )
         folded = jax.vmap(jax.random.fold_in)(keys, depth_arr)
         return jax.vmap(lambda k: jax.random.uniform(k, (n,)))(folded)
-    return rng.bounce_uniforms_hash(pixel_ids, sample_ids, depth, n)
+    return rng.bounce_uniforms_hash(
+        pixel_ids, sample_ids, depth, n, seed=settings.seed
+    )
 
 
 def radiance_batch_stats(scene, settings, o, d, pixel_ids, sample_ids):

@@ -97,7 +97,11 @@ def _make_kernel(n_clusters: int):
         t_near = jnp.maximum(jnp.maximum(nx, ny), nz)
         t_far = jnp.minimum(jnp.minimum(fx, fy), fz)
         enter = jnp.maximum(t_near, 0.0)
-        box_hit = (t_far >= t_near) & (t_far > 0.0)
+        # An all-padding cluster carries lo = +_INF > hi = -_INF; the
+        # per-axis min/max in slab_axis *swaps* those bounds (t_near=-inf,
+        # t_far=+inf -> spuriously live), so degenerate clusters must be
+        # masked explicitly by the lo <= hi invariant of real AABBs.
+        box_hit = (t_far >= t_near) & (t_far > 0.0) & (lox[:] <= hix[:])
         enter = jnp.where(box_hit, enter, _INF)  # [BR, C]
 
         t_out[:] = jnp.full(rx.shape, _INF, dtype=jnp.float32)
@@ -214,7 +218,9 @@ def closest_tri_cluster(scene, o, d, interpret: bool = False):
     ) + (tvalid.astype(jnp.int32).reshape(1, -1),)
     lo, hi = cluster_bounds(v0, e1, e2, tvalid)
     # Clamp +/-inf (all-padding clusters) to huge finite so slab math stays
-    # NaN-free; lo > hi still guarantees a miss.
+    # NaN-free. lo > hi does NOT by itself guarantee a slab miss (the
+    # per-axis min/max swaps the bounds); the kernel masks degenerate
+    # clusters explicitly via the lo <= hi check above.
     lo = jnp.clip(lo, -_INF, _INF)
     hi = jnp.clip(hi, -_INF, _INF)
     clusters = tuple(a[:, k].reshape(1, -1) for a in (lo, hi) for k in range(3))

@@ -57,22 +57,35 @@ def _fmix32(x):
     return x
 
 
-def hash_u32(pixel_ids, sample_ids, counter):
+def _seed_mix(seed: int) -> int:
+    """Host-side fmix32 of a Python seed; 0 -> 0 (seedless = legacy stream)."""
+    x = seed & 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * 0x85EBCA6B) & 0xFFFFFFFF
+    x ^= x >> 13
+    x = (x * 0xC2B2AE35) & 0xFFFFFFFF
+    x ^= x >> 16
+    return x
+
+
+def hash_u32(pixel_ids, sample_ids, counter, seed: int = 0):
     """Well-mixed u32 from (pixel, sample, counter) — [B] u32 or scalars.
 
     ``counter`` may be a Python int, scalar, or per-lane [B] array (the
-    regenerative wavefront tracks a per-lane bounce depth).
+    regenerative wavefront tracks a per-lane bounce depth). ``seed`` is a
+    static Python int selecting an independent stream; seed 0 reproduces
+    the seedless stream (the goldens' stream).
     """
     counter = jnp.asarray(counter).astype(jnp.uint32)
-    h = pixel_ids.astype(jnp.uint32) * _C1
+    h = (pixel_ids.astype(jnp.uint32) * _C1) ^ jnp.uint32(_seed_mix(seed))
     h = _fmix32(h ^ (sample_ids.astype(jnp.uint32) * _C2))
     h = _fmix32(h ^ (counter * _C3))
     return h
 
 
-def hash_uniform(pixel_ids, sample_ids, counter):
+def hash_uniform(pixel_ids, sample_ids, counter, seed: int = 0):
     """[B] uniforms in [0, 1) from the hash generator (24-bit mantissa)."""
-    bits = hash_u32(pixel_ids, sample_ids, counter)
+    bits = hash_u32(pixel_ids, sample_ids, counter, seed)
     return _u01(bits)
 
 
@@ -105,25 +118,41 @@ def _slot_salt(i: int) -> int:
     return x
 
 
-def bounce_uniforms_hash(pixel_ids, sample_ids, bounce, n: int = STRIDE):
+def bounce_uniforms_hash(pixel_ids, sample_ids, bounce, n: int = STRIDE,
+                         seed: int = 0):
     """[B, n] uniforms for one bounce.
 
     One full-strength base hash of (pixel, sample, bounce), then one cheap
     nonlinear round per purpose slot (see module docstring for why).
     ``bounce`` may be a scalar or per-lane [B] array.
     """
-    base = hash_u32(pixel_ids, sample_ids, bounce)
+    base = hash_u32(pixel_ids, sample_ids, bounce, seed)
     cols = [_u01(_xmx(base ^ jnp.uint32(_slot_salt(i)))) for i in range(n)]
     return jnp.stack(cols, axis=-1)
 
 
-def pixel_jitter_hash(pixel_ids, sample_ids):
+def pixel_jitter_hash(pixel_ids, sample_ids, seed: int = 0):
     """[B, 2] sub-pixel jitter in [0, 1)."""
-    base = hash_u32(pixel_ids, sample_ids, PIXEL_JITTER)
+    base = hash_u32(pixel_ids, sample_ids, PIXEL_JITTER, seed)
     return jnp.stack(
         [_u01(base), _u01(_xmx(base ^ jnp.uint32(_slot_salt(1))))],
         axis=-1,
     )
+
+
+def pixel_jitter(settings, pixel_ids, sample_ids):
+    """[B, 2] sub-pixel jitter via the configured generator + seed.
+
+    Single entry point for every renderer (forward, sharded, inverse) so
+    ``RenderSettings.seed`` is honored uniformly — previously each call site
+    hardcoded ``PRNGKey(0)``.
+    """
+    if settings.rng == "threefry":
+        keys = ray_keys(
+            jax.random.PRNGKey(settings.seed), pixel_ids, sample_ids
+        )
+        return pixel_jitter_threefry(keys)
+    return pixel_jitter_hash(pixel_ids, sample_ids, seed=settings.seed)
 
 
 # --- threefry path (validation oracle / crypto-strength option) ---

@@ -44,7 +44,8 @@ _FLUSH_WAYS = 4
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "settings", "n_pixels", "batch", "rays_per_pixel", "sample_offset"
+        "settings", "n_pixels", "batch", "rays_per_pixel", "sample_offset",
+        "n_ids",
     ),
 )
 def render_pool(
@@ -55,6 +56,9 @@ def render_pool(
     batch: int,
     rays_per_pixel: int,
     sample_offset: int = 0,
+    id_offset=None,
+    id_limit=None,
+    n_ids: int | None = None,
 ):
     """Trace ``n_pixels * rays_per_pixel`` paths -> (image [P, 3] radiance sum,
     rays_traced, iterations).
@@ -63,16 +67,28 @@ def render_pool(
     range covers whole sample waves first — matching the scan renderer's
     progressive order for checkpointing. ``sample_offset`` shifts the sample
     indices so chunked/resumed renders reproduce the straight-through result.
+
+    Sharding hooks (parallel.render.render_pool_sharded): the pool can own
+    an arbitrary slice of the global ray-id space. ``n_ids`` (static) is the
+    slice length (default: all ids), ``id_offset`` (traced u32, e.g. derived
+    from ``lax.axis_index``) shifts local ids to global ones, and
+    ``id_limit`` (traced u32) caps the count actually spawned (for a ragged
+    final slice). Because all randomness is counter-based on the *global*
+    (pixel, sample), per-path radiance is bit-identical however the id space
+    is sliced.
     """
-    total = n_pixels * rays_per_pixel
+    total = n_ids if n_ids is not None else n_pixels * rays_per_pixel
+    limit = jnp.uint32(total if id_limit is None else id_limit)
+    offset = jnp.uint32(0 if id_offset is None else id_offset)
     b = min(batch, total)
     b += (-b) % _FLUSH_WAYS  # W-way flush groups; extra lanes stay idle
 
     def spawn(ray_ids, active):
-        """Camera rays for [B] ray ids (masked by ``active``)."""
-        pixel = (ray_ids % n_pixels).astype(jnp.uint32)
-        sample = (ray_ids // n_pixels).astype(jnp.uint32) + jnp.uint32(sample_offset)
-        jitter = rng.pixel_jitter_hash(pixel, sample)
+        """Camera rays for [B] *local* ray ids (masked by ``active``)."""
+        gids = ray_ids + offset
+        pixel = (gids % n_pixels).astype(jnp.uint32)
+        sample = (gids // n_pixels).astype(jnp.uint32) + jnp.uint32(sample_offset)
+        jitter = rng.pixel_jitter(settings, pixel, sample)
         o, d = generate_rays(frame, settings.width, settings.height, pixel, jitter)
         return pixel, sample, o, d
 
@@ -80,21 +96,28 @@ def render_pool(
     ids0 = jnp.arange(b, dtype=jnp.uint32)
     pixel, sample, o, d = spawn(ids0, None)
 
+    # Inits must be *data-dependent* on the (possibly shard_map-varying)
+    # ray state so the while_loop carry in/out types match — constant
+    # zeros/ones fold to replicated types and lose the varying axis.
+    zero3 = (o + d) * 0.0
+    zero = zero3[:, 0]
+    vary_u32 = offset * jnp.uint32(0)
+
     state = dict(
         o=o,
         d=d,
-        beta=jnp.ones((b, 3), jnp.float32),
-        radiance=jnp.zeros((b, 3), jnp.float32),
-        alive=ids0 < total,
-        holding=jnp.zeros((b,), bool),
-        spec=jnp.zeros((b,), bool),
+        beta=zero3 + 1.0,
+        radiance=zero3,
+        alive=ids0 < limit,
+        holding=zero != 0.0,
+        spec=zero != 0.0,
         pixel=pixel,
         sample=sample,
-        depth=jnp.zeros((b,), jnp.int32),
-        image=jnp.zeros((n_pixels, 3), jnp.float32),
-        next_id=jnp.uint32(b),
-        n_rays=jnp.float32(0.0),
-        iters=jnp.int32(0),
+        depth=zero.astype(jnp.int32),
+        image=jnp.zeros((n_pixels, 3), jnp.float32) + zero3[0] * 0.0,
+        next_id=jnp.uint32(b) + vary_u32,
+        n_rays=jnp.sum(zero),
+        iters=jnp.int32(0) + vary_u32.astype(jnp.int32),
     )
 
     def cond(st):
@@ -157,10 +180,9 @@ def render_pool(
         # Flushed lanes take fresh ray ids from the global counter.
         rank = jnp.cumsum(selected.astype(jnp.uint32)) - 1
         new_ids = st["next_id"] + rank
-        take = selected & (new_ids < total)
+        take = selected & (new_ids < limit)
         next_id = jnp.minimum(
-            st["next_id"] + jnp.sum(selected.astype(jnp.uint32)),
-            jnp.uint32(total),
+            st["next_id"] + jnp.sum(selected.astype(jnp.uint32)), limit
         )
 
         n_pixel, n_sample, n_o, n_d = spawn(new_ids, take)
@@ -186,8 +208,9 @@ def render_pool(
     return state["image"], state["n_rays"], state["iters"]
 
 
-def render_regenerative(scene, camera, settings):
-    """Full render via the regenerative pool -> mean radiance [H, W, 3]."""
+def render_regenerative_stats(scene, camera, settings):
+    """Full render via the regenerative pool -> (mean radiance [H, W, 3],
+    n_rays traced, pool iterations)."""
     frame = {
         k: jnp.asarray(v)
         for k, v in camera.ray_frame(settings.width, settings.height).items()
@@ -202,4 +225,9 @@ def render_regenerative(scene, camera, settings):
         rays_per_pixel=settings.samples_per_pixel,
     )
     mean = image / settings.samples_per_pixel
-    return mean.reshape(settings.height, settings.width, 3)
+    return mean.reshape(settings.height, settings.width, 3), n_rays, iters
+
+
+def render_regenerative(scene, camera, settings):
+    """Full render via the regenerative pool -> mean radiance [H, W, 3]."""
+    return render_regenerative_stats(scene, camera, settings)[0]

@@ -28,11 +28,7 @@ from pathtracer_tpu.parallel.mesh import RAY_AXIS, make_mesh
 def _wave_local(scene, frame, sample_idx, pixel_ids, settings):
     """Per-shard sample wave on local pixel ids [b_local]."""
     sample_ids = jnp.full(pixel_ids.shape, sample_idx, dtype=jnp.uint32)
-    if settings.rng == "threefry":
-        keys = rng.ray_keys(jax.random.PRNGKey(0), pixel_ids, sample_ids)
-        jitter = rng.pixel_jitter_threefry(keys)
-    else:
-        jitter = rng.pixel_jitter_hash(pixel_ids, sample_ids)
+    jitter = rng.pixel_jitter(settings, pixel_ids, sample_ids)
     o, d = generate_rays(frame, settings.width, settings.height, pixel_ids, jitter)
     return jnp.maximum(
         radiance_batch(scene, settings, o, d, pixel_ids, sample_ids), 0.0
@@ -43,10 +39,15 @@ def _wave_local(scene, frame, sample_idx, pixel_ids, settings):
 def sample_wave_sharded(scene: Scene, frame, settings: RenderSettings, sample_idx, mesh):
     """One sample for every pixel, pixels sharded over the mesh -> [HW, 3].
 
-    Pixel count must divide the mesh size (render_sharded pads to this).
+    Non-divisible pixel counts are padded with clamped duplicate ids (the
+    duplicate rows trace redundantly and are sliced off) — counter-based RNG
+    keeps the kept rows bit-identical to the single-device render.
     """
     n_pixels = settings.width * settings.height
-    pixel_ids = jnp.arange(n_pixels, dtype=jnp.uint32)
+    n_padded = -(-n_pixels // mesh.size) * mesh.size
+    pixel_ids = jnp.minimum(
+        jnp.arange(n_padded, dtype=jnp.uint32), jnp.uint32(n_pixels - 1)
+    )
 
     wave = jax.shard_map(
         functools.partial(_wave_local, settings=settings),
@@ -54,7 +55,72 @@ def sample_wave_sharded(scene: Scene, frame, settings: RenderSettings, sample_id
         in_specs=(P(), P(), P(), P(RAY_AXIS)),
         out_specs=P(RAY_AXIS),
     )
-    return wave(scene, frame, sample_idx, pixel_ids)
+    return wave(scene, frame, sample_idx, pixel_ids)[:n_pixels]
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "mesh"))
+def _pool_sharded(scene: Scene, frame, settings: RenderSettings, mesh):
+    """Regenerative pool over the mesh -> (image sum [HW, 3], rays, iters)."""
+    n_pixels = settings.width * settings.height
+    total = n_pixels * settings.samples_per_pixel
+    per_dev = -(-total // mesh.size)  # ceil; ragged tail masked by id_limit
+
+    def local(scene, frame):
+        from pathtracer_tpu.ops.wavefront import render_pool
+
+        rank = jax.lax.axis_index(RAY_AXIS).astype(jnp.uint32)
+        offset = rank * jnp.uint32(per_dev)
+        limit = jnp.minimum(jnp.uint32(total) - jnp.minimum(offset, total), per_dev)
+        img, n_rays, iters = render_pool(
+            scene,
+            frame,
+            settings,
+            n_pixels=n_pixels,
+            batch=min(settings.batch_size, per_dev),
+            rays_per_pixel=settings.samples_per_pixel,
+            id_offset=offset,
+            id_limit=limit,
+            n_ids=per_dev,
+        )
+        return (
+            jax.lax.psum(img, RAY_AXIS),
+            jax.lax.psum(n_rays, RAY_AXIS),
+            jax.lax.pmax(iters, RAY_AXIS),
+        )
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P()), out_specs=(P(), P(), P())
+    )(scene, frame)
+
+
+def render_pool_sharded(
+    scene: Scene,
+    camera: Camera,
+    settings: RenderSettings,
+    mesh=None,
+):
+    """Regenerative-wavefront render sharded over the device mesh
+    -> mean radiance [H, W, 3].
+
+    Each device runs its own regeneration pool over a disjoint slice of the
+    global sample-major ray-id space; partial images ``psum`` over ICI.
+    Counter-based RNG makes every *path's* radiance bit-identical to the
+    single-device pool; only the float summation order per pixel differs
+    (tested to ~1e-6 relative). This is the multi-chip version of the
+    fast path — the scan-based ``render_sharded`` stays as the
+    bit-identical/differentiable variant.
+    """
+    mesh = mesh if mesh is not None else make_mesh()
+    frame = {
+        k: jnp.asarray(v)
+        for k, v in camera.ray_frame(settings.width, settings.height).items()
+    }
+    rep = NamedSharding(mesh, P())
+    scene = jax.device_put(scene, rep)
+    frame = jax.device_put(frame, rep)
+    image, _, _ = _pool_sharded(scene, frame, settings, mesh)
+    mean = image / settings.samples_per_pixel
+    return mean.reshape(settings.height, settings.width, 3)
 
 
 def render_sharded(
@@ -66,13 +132,7 @@ def render_sharded(
 ):
     """Progressive sharded render -> mean radiance [H, W, 3] (pre-tonemap)."""
     mesh = mesh if mesh is not None else make_mesh()
-    n_dev = mesh.size
     n_pixels = settings.width * settings.height
-    if n_pixels % n_dev != 0:
-        raise ValueError(
-            f"pixel count {n_pixels} must divide the mesh size {n_dev}"
-        )
-
     frame = {
         k: jnp.asarray(v)
         for k, v in camera.ray_frame(settings.width, settings.height).items()

@@ -37,12 +37,7 @@ def sample_wave(scene: Scene, frame: dict, settings: RenderSettings, sample_idx)
     pixel_ids = jnp.arange(n_pixels, dtype=jnp.uint32)
     sample_ids = jnp.full((n_pixels,), sample_idx, dtype=jnp.uint32)
 
-    if settings.rng == "threefry":
-        keys = rng.ray_keys(jax.random.PRNGKey(0), pixel_ids, sample_ids)
-        jitter = rng.pixel_jitter_threefry(keys)
-    else:
-        jitter = rng.pixel_jitter_hash(pixel_ids, sample_ids)
-
+    jitter = rng.pixel_jitter(settings, pixel_ids, sample_ids)
     o, d = generate_rays(frame, settings.width, settings.height, pixel_ids, jitter)
     radiance = radiance_batch(scene, settings, o, d, pixel_ids, sample_ids)
     # Reference clamps each sample's channels at accumulation

@@ -57,6 +57,42 @@ def test_cluster_handles_ray_padding(cornell, rng_np):
     assert np.allclose(t0[hit], t1[hit], rtol=1e-5, atol=1e-6)
 
 
+def test_degenerate_all_padding_cluster_is_masked(cornell, rng_np):
+    """A cluster made entirely of padding triangles must be culled by the
+    kernel's explicit lo <= hi mask (ADVICE r1 #1): results still agree
+    with brute on the un-padded geometry."""
+    import jax.numpy as jnp
+
+    from pathtracer_tpu.ops.intersect import closest_tri_brute
+    from pathtracer_tpu.ops.intersect_cluster import closest_tri_cluster
+
+    scene, _ = cornell
+    tp = 1024  # cornell pads to 128 tris -> second cluster is all padding
+
+    def pad(a, fill=0):
+        a = np.asarray(a)
+        ext = np.full((tp - a.shape[0],) + a.shape[1:], fill, a.dtype)
+        return jnp.asarray(np.concatenate([a, ext], axis=0))
+
+    scene2 = scene.replace(
+        tri_v0=pad(scene.tri_v0),
+        tri_e1=pad(scene.tri_e1),
+        tri_e2=pad(scene.tri_e2),
+        tri_n=pad(scene.tri_n),
+        tri_vn=pad(scene.tri_vn),
+        tri_mat=pad(scene.tri_mat),
+        tri_valid=pad(scene.tri_valid),
+    )
+    o, d = _random_rays(rng_np, 128)
+    t0, id0 = closest_tri_brute(scene, o, d)
+    t1, id1 = closest_tri_cluster(scene2, o, d, interpret=True)
+    t0, t1, id0, id1 = map(np.asarray, (t0, t1, id0, id1))
+    hit = np.isfinite(t0)
+    assert np.array_equal(hit, np.isfinite(t1))
+    assert np.allclose(t0[hit], t1[hit], rtol=1e-5, atol=1e-6)
+    assert np.array_equal(id0[hit], id1[hit])
+
+
 def test_cluster_bounds_cover_valid_tris(cornell):
     from pathtracer_tpu.ops.intersect_cluster import (
         CLUSTER,
@@ -76,7 +112,9 @@ def test_cluster_bounds_cover_valid_tris(cornell):
         sl = slice(c * CLUSTER, (c + 1) * CLUSTER)
         vm = valid[sl]
         if not vm.any():
-            assert (lo[c] > hi[c]).any()  # degenerate box can never be hit
+            # Degenerate marker the kernel's explicit lo <= hi mask keys
+            # on (the slab min/max alone would swap the bounds and pass).
+            assert (lo[c] > hi[c]).any()
             continue
         pts = np.concatenate(
             [v0[sl][vm], (v0 + e1)[sl][vm], (v0 + e2)[sl][vm]], axis=0

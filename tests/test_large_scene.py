@@ -1,9 +1,10 @@
-"""Large-mesh end-to-end smoke test (MedievalBoat, 12.5k triangles).
+"""Large-mesh tests (MedievalBoat, 12.5k triangles).
 
 BASELINE.json config 4 names MedievalBoat.xml as the large-scene stressor
-(reference: scene_assets/MedievalBoat.xml, 15216 v / 12571 f). This renders
-it tiny end-to-end (parse -> BVH pack -> wavefront integrate) and checks
-the image is finite, non-trivial, and identical across intersectors.
+(reference: scene_assets/MedievalBoat.xml, 15216 v / 12571 f). Covers an
+end-to-end tiny render (parse -> BVH pack -> wavefront integrate, finite
+and non-trivial) and exact cross-intersector agreement on boat rays
+(brute sweep vs BVH traversal vs cluster kernel).
 """
 
 import numpy as np
@@ -40,3 +41,30 @@ def test_boat_renders(boat):
     assert img.shape == (24, 24, 3)
     assert np.all(np.isfinite(img))
     assert img.max() > 0.0
+
+
+def test_boat_intersectors_agree(boat, rng_np):
+    """brute / bvh / cluster closest-hit agree exactly on boat rays."""
+    import jax.numpy as jnp
+
+    from pathtracer_tpu.ops.bvh_traverse import closest_tri_bvh
+    from pathtracer_tpu.ops.intersect import closest_tri_brute
+    from pathtracer_tpu.ops.intersect_cluster import closest_tri_cluster
+
+    scene, camera = boat
+    o = jnp.asarray(
+        np.broadcast_to(np.asarray(camera.pos, np.float32), (128, 3)).copy()
+    )
+    d = rng_np.normal(size=(128, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d.astype(np.float32))
+
+    t0, id0 = (np.asarray(a) for a in closest_tri_brute(scene, o, d))
+    t1, id1 = (np.asarray(a) for a in closest_tri_bvh(scene, o, d))
+    t2, id2 = (np.asarray(a) for a in closest_tri_cluster(scene, o, d, interpret=True))
+    hit = np.isfinite(t0)
+    assert hit.any(), "no boat hits sampled"
+    for t, ids in ((t1, id1), (t2, id2)):
+        assert np.array_equal(hit, np.isfinite(t))
+        assert np.allclose(t0[hit], t[hit], rtol=1e-5, atol=1e-6)
+        assert np.array_equal(id0[hit], ids[hit])

@@ -37,6 +37,63 @@ def test_sharded_render_matches_single(box):
     np.testing.assert_array_equal(single, sharded)
 
 
+def test_pool_sharded_matches_single(box):
+    """Sharded regenerative pool ≡ single-device pool: per-path radiance is
+    bit-identical (counter RNG); image differs only by fp summation order."""
+    from pathtracer_tpu.parallel.mesh import make_mesh
+    from pathtracer_tpu.parallel.render import render_pool_sharded
+    from pathtracer_tpu.render import render
+
+    scene, camera = box
+    settings = RenderSettings(
+        width=16, height=16, samples_per_pixel=8, max_depth=4,
+        scheduler="regen",
+    )
+    single = np.asarray(render(scene, camera, settings))
+    sharded = np.asarray(
+        render_pool_sharded(scene, camera, settings, mesh=make_mesh())
+    )
+    np.testing.assert_allclose(single, sharded, rtol=3e-5, atol=3e-6)
+
+
+def test_pool_sharded_ragged_id_space(box):
+    """Total ray count not divisible by the mesh: the last device's slice is
+    ragged (id_limit masks the tail) and the result still matches."""
+    from pathtracer_tpu.parallel.mesh import make_mesh
+    from pathtracer_tpu.parallel.render import render_pool_sharded
+    from pathtracer_tpu.render import render
+
+    scene, camera = box
+    settings = RenderSettings(
+        width=15, height=15, samples_per_pixel=3, max_depth=4,
+        scheduler="regen",
+    )
+    assert (15 * 15 * 3) % 8 != 0
+    single = np.asarray(render(scene, camera, settings))
+    sharded = np.asarray(
+        render_pool_sharded(scene, camera, settings, mesh=make_mesh())
+    )
+    np.testing.assert_allclose(single, sharded, rtol=3e-5, atol=3e-6)
+
+
+def test_sharded_render_pads_non_divisible(box):
+    """500x500-style non-divisible pixel counts render (VERDICT r1 weak #3)."""
+    from pathtracer_tpu.parallel.mesh import make_mesh
+    from pathtracer_tpu.parallel.render import render_sharded
+    from pathtracer_tpu.render import render
+
+    scene, camera = box
+    settings = RenderSettings(
+        width=9, height=7, samples_per_pixel=2, max_depth=3, scheduler="scan"
+    )
+    assert (9 * 7) % 8 != 0
+    single = np.asarray(render(scene, camera, settings))
+    sharded = np.asarray(
+        render_sharded(scene, camera, settings, mesh=make_mesh())
+    )
+    np.testing.assert_array_equal(single, sharded)
+
+
 def test_sharded_train_step_runs_and_reduces(box):
     import optax
 
@@ -61,7 +118,8 @@ def test_sharded_train_step_runs_and_reduces(box):
     target = jnp.zeros((n, 3))
 
     new_params, _, loss = step(
-        params, opt_state, scene, frame, target, pixel_ids, sample_ids
+        params, opt_state, scene, frame, target, pixel_ids, sample_ids,
+        sample_ids + 1,
     )
     assert np.isfinite(float(loss))
     # Params actually moved.
@@ -95,10 +153,12 @@ def test_sharded_grads_match_unsharded(box):
     step_single = make_train_step(settings, optimizer, mesh=None)
     step_sharded = make_train_step(settings, optimizer, mesh=make_mesh())
     p1, _, l1 = step_single(
-        params, opt_state, scene, frame, target, pixel_ids, sample_ids
+        params, opt_state, scene, frame, target, pixel_ids, sample_ids,
+        sample_ids + 1,
     )
     p2, _, l2 = step_sharded(
-        params, opt_state, scene, frame, target, pixel_ids, sample_ids
+        params, opt_state, scene, frame, target, pixel_ids, sample_ids,
+        sample_ids + 1,
     )
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
     for k in p1:
