@@ -1,0 +1,259 @@
+"""Block-shortlist closest-hit intersector for large scenes (XLA-only).
+
+The capability matched is the reference's BVH traversal
+(``src/wgsl-util/intersection-logic.wgsl:1-215``); the mechanics are
+redesigned for the TPU's vector units, guided by the round-1 measurements
+(docs/PERF_NOTES.md):
+
+- per-*ray* triangle selection is hopeless on TPU (one gathered row costs
+  ~800 Möller–Trumbore tests of VPU time), but per-*block* selection
+  amortized over a block of rays pays off;
+- gathers serialize, one-hot matmuls ride the MXU — so the "gather" of a
+  shortlisted cluster's triangles is an exact one-hot [NB·K, C] @
+  [C, 11·CLUSTER] matmul at HIGHEST precision;
+- whole-tile skipping inside a Pallas kernel lost 2.7x to vector->scalar
+  sync; here every round is branch-free over the full batch and the only
+  scalar decision is the while_loop's global "anyone still improvable?".
+
+Algorithm (exact — agrees with the brute sweep bit-for-bit on t):
+  1. Triangles are packed in BVH-leaf order (models.pack), so consecutive
+     CLUSTER-sized runs are spatially tight; cluster AABBs come from a
+     per-cluster min/max reduction.
+  2. Every ray slab-tests every cluster AABB once: ``enter`` [B, C]
+     (vectorized tavianator test, cf. ray-bbox-intersection.wgsl:1-31).
+  3. Rounds: each ray-block ranks its not-yet-visited clusters by the
+     block-min entry distance *among rays the cluster could still improve*
+     (enter < best_t), takes the K nearest, sweeps their triangles
+     (Möller–Trumbore, masked), and updates per-ray best (t, id).
+  4. The loop exits when no unvisited cluster can improve any ray — the
+     same "node farther than closest hit" cull as the reference's
+     traversal (intersection-logic.wgsl:178-181), amortized per block.
+
+Coherent blocks (camera/shadow waves; pool lanes are spawned pixel-
+contiguous) converge in 1-2 rounds; fully scrambled blocks fall back to
+~T/(K·CLUSTER) rounds, i.e. never asymptotically worse than brute.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+EPS_TRI = 1e-8  # ray-triangle-intersection.wgsl:5
+_INF = jnp.inf
+_BIG_F = 3.0e38
+_BIG_ID = 1.0e9  # > any triangle id; ids are exact in f32 (< 2^24)
+
+BLOCK = 1024  # rays per shortlist decision
+CLUSTER = 128  # triangles per cluster == TPU lane width
+K = 8  # clusters gathered per block per round
+
+# Component order in the packed cluster table.
+_COMPS = 11  # v0.xyz e1.xyz e2.xyz id valid
+
+
+def _cluster_table(scene, cluster: int):
+    """(table [C, 11*cluster], lo [C,3], hi [C,3]) from the triangle SoA.
+
+    Table column blocks are component-major so post-matmul slices land on
+    lane-width boundaries. Padding triangles carry valid=0 and contribute
+    +/-inf-free bounds via masking; an all-padding cluster gets lo > hi,
+    which the ranking masks out (its entry key stays +inf).
+    """
+    t = scene.tri_v0.shape[0]
+    tp = -(-t // cluster) * cluster
+    c = tp // cluster
+
+    def pad(a):
+        if tp == a.shape[0]:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((tp - a.shape[0],) + a.shape[1:], a.dtype)], axis=0
+        )
+
+    v0, e1, e2 = pad(scene.tri_v0), pad(scene.tri_e1), pad(scene.tri_e2)
+    valid = pad(scene.tri_valid)
+    ids = jnp.arange(tp, dtype=jnp.float32)
+
+    cols = [v0[:, 0], v0[:, 1], v0[:, 2],
+            e1[:, 0], e1[:, 1], e1[:, 2],
+            e2[:, 0], e2[:, 1], e2[:, 2],
+            ids, valid.astype(jnp.float32)]
+    table = jnp.concatenate(
+        [col.reshape(c, cluster) for col in cols], axis=1
+    )  # [C, 11*cluster]
+
+    pts = jnp.stack([v0, v0 + e1, v0 + e2], axis=1)  # [tp, 3, 3]
+    m = valid[:, None, None]
+    lo = jnp.where(m, pts, _BIG_F).reshape(c, cluster * 3, 3).min(axis=1)
+    hi = jnp.where(m, pts, -_BIG_F).reshape(c, cluster * 3, 3).max(axis=1)
+    return table, lo, hi
+
+
+def _enter_dists(o, d, lo, hi):
+    """Slab entry distance of every ray to every cluster AABB -> [B, C].
+
+    +inf on miss or degenerate (lo > hi) cluster. NaN-safe clamp of the
+    direction reciprocal, same convention as ops.intersect_cluster.
+    """
+    def inv(w):
+        mag = jnp.maximum(jnp.abs(w), 1e-12)
+        return jnp.where(w >= 0.0, 1.0, -1.0) / mag
+
+    enter = None
+    t_near = jnp.full((o.shape[0], lo.shape[0]), -_BIG_F)
+    t_far = jnp.full((o.shape[0], lo.shape[0]), _BIG_F)
+    for ax in range(3):
+        i = inv(d[:, ax : ax + 1])  # [B, 1]
+        t0 = (lo[None, :, ax] - o[:, ax : ax + 1]) * i
+        t1 = (hi[None, :, ax] - o[:, ax : ax + 1]) * i
+        t_near = jnp.maximum(t_near, jnp.minimum(t0, t1))
+        t_far = jnp.minimum(t_far, jnp.maximum(t0, t1))
+    ok = (t_far >= t_near) & (t_far > 0.0) & (lo[None, :, 0] <= hi[None, :, 0])
+    return jnp.where(ok, jnp.maximum(t_near, 0.0), _INF)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "k", "cluster", "max_rounds")
+)
+def closest_tri_shortlist(
+    scene,
+    o,
+    d,
+    block: int = BLOCK,
+    k: int = K,
+    cluster: int = CLUSTER,
+    max_rounds: int | None = None,
+):
+    """Closest triangle hit -> (t [B] f32 — inf on miss, tri_id [B] i32 —
+    -1 on miss). Exact match with ``intersect.closest_tri_brute``."""
+    b = o.shape[0]
+    bp = -(-b // block) * block
+    if bp != b:
+        pad = bp - b
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1e30, o.dtype)], axis=0)
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], d.dtype), (pad, 1))],
+            axis=0,
+        )
+    nb = bp // block
+
+    table, lo, hi = _cluster_table(scene, cluster)
+    c = lo.shape[0]
+    kc = min(k, c)
+    if max_rounds is None:
+        max_rounds = -(-c // kc)  # exactness backstop: can visit every cluster
+
+    enter = _enter_dists(o, d, lo, hi).reshape(nb, block, c)
+
+    # Ray components per block (data-dependent zero keeps shard_map axes).
+    zero = (o[:, 0] + d[:, 0]) * 0.0
+    rx = (o[:, 0] + zero).reshape(nb, block, 1)
+    ry = (o[:, 1] + zero).reshape(nb, block, 1)
+    rz = (o[:, 2] + zero).reshape(nb, block, 1)
+    wx = (d[:, 0] + zero).reshape(nb, block, 1)
+    wy = (d[:, 1] + zero).reshape(nb, block, 1)
+    wz = (d[:, 2] + zero).reshape(nb, block, 1)
+
+    iota_c = jnp.arange(c, dtype=jnp.int32)
+
+    state = dict(
+        best_t=(zero + _INF).reshape(nb, block),
+        best_id=(zero.astype(jnp.int32) - 1).reshape(nb, block),
+        visited=(zero[:nb, None] != 0.0) | jnp.zeros((nb, c), bool),
+        go=jnp.bool_(True) | (jnp.sum(zero) != 0.0),
+        rounds=jnp.int32(0),
+    )
+
+    def improvable_key(best_t, visited):
+        """Block-min entry distance per still-useful cluster -> [NB, C]."""
+        useful = enter < best_t[:, :, None]  # [NB, block, C]
+        key = jnp.min(jnp.where(useful, enter, _INF), axis=1)  # [NB, C]
+        return jnp.where(visited, _INF, key)
+
+    def cond(st):
+        return st["go"] & (st["rounds"] < max_rounds)
+
+    def body(st):
+        best_t, best_id, visited = st["best_t"], st["best_id"], st["visited"]
+        key = improvable_key(best_t, visited)
+
+        # K-nearest clusters per block by iterative min extraction.
+        sels = []
+        for _ in range(kc):
+            cur = jnp.min(key, axis=1)  # [NB]
+            first = jnp.min(
+                jnp.where(key == cur[:, None], iota_c[None, :], c), axis=1
+            )
+            oh = (iota_c[None, :] == first[:, None]) & jnp.isfinite(cur)[:, None]
+            key = jnp.where(oh, _INF, key)
+            sels.append(oh)
+        onehot = jnp.stack(sels, axis=1)  # [NB, K, C] bool
+        visited = visited | jnp.any(onehot, axis=1)
+
+        # Exact MXU gather of the shortlisted clusters' triangle data.
+        g = jax.lax.dot_general(
+            onehot.reshape(nb * kc, c).astype(jnp.float32),
+            table,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [NB*K, 11*cluster]
+
+        def comp(j, s):
+            return g[:, j * cluster : (j + 1) * cluster].reshape(
+                nb, kc, cluster
+            )[:, s, :][:, None, :]  # [NB, 1, cluster]
+
+        # Sweep the K cluster tiles with a running (t, id) minimum — the
+        # same fused elementwise+reduce shape as the brute sweep's tiles.
+        for s in range(kc):
+            ax, ay, az = comp(0, s), comp(1, s), comp(2, s)
+            bx, by, bz = comp(3, s), comp(4, s), comp(5, s)
+            cx, cy, cz = comp(6, s), comp(7, s), comp(8, s)
+            tid, tval = comp(9, s), comp(10, s)
+
+            px = wy * cz - wz * cy
+            py = wz * cx - wx * cz
+            pz = wx * cy - wy * cx
+            det = bx * px + by * py + bz * pz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) > EPS_TRI, det, 1.0)
+            sx, sy, sz = rx - ax, ry - ay, rz - az
+            u = (sx * px + sy * py + sz * pz) * inv_det
+            qx = sy * bz - sz * by
+            qy = sz * bx - sx * bz
+            qz = sx * by - sy * bx
+            v = (wx * qx + wy * qy + wz * qz) * inv_det
+            t = (cx * qx + cy * qy + cz * qz) * inv_det
+            ok = (
+                (jnp.abs(det) > EPS_TRI)
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > EPS_TRI)
+                & (tval > 0.5)
+            )
+            t = jnp.where(ok, t, _INF)
+            tile_t = jnp.min(t, axis=2)  # [NB, block]
+            tile_id = jnp.min(
+                jnp.where(t == tile_t[:, :, None], tid, _BIG_ID), axis=2
+            )
+            better = tile_t < best_t
+            best_t = jnp.where(better, tile_t, best_t)
+            best_id = jnp.where(better, tile_id.astype(jnp.int32), best_id)
+
+        go = jnp.any(jnp.isfinite(improvable_key(best_t, visited)))
+        return dict(
+            best_t=best_t,
+            best_id=best_id,
+            visited=visited,
+            go=go,
+            rounds=st["rounds"] + 1,
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+    t_out = st["best_t"].reshape(bp)[:b]
+    id_out = st["best_id"].reshape(bp)[:b]
+    return t_out, jnp.where(jnp.isfinite(t_out), id_out, -1)
