@@ -91,12 +91,52 @@ def _paired_objective(
     return surrogate, monitor
 
 
-def make_train_step(settings, optimizer, mesh=None):
+def _paired_objective_tonemapped(
+    params, scene, settings, frame, target_rows, pixel_ids, ids_a, ids_b
+):
+    """Paired surrogate for a loss in *display* space: MSE(f(E[X]), t)
+    with f = the reference tonemap (ops.tonemap.tonemap_reference).
+
+    Fitting against a real PNG (the reference's ground-truth images are
+    8-bit display-space files, submission-final.md:20-27) means the loss
+    sits behind the tonemap. Chain rule: dL/dθ = w · dE[X]/dθ with
+    w = 2 (f(m) - t) f'(m) evaluated at m = E[X]. The weight is estimated
+    from one wave (stop-gradient) and the unbiased dE[X] factor from the
+    *other*, symmetrized — the same decoupling as ``_paired_objective``.
+
+    Residual bias, documented: the weight uses f at a one-wave estimate of
+    m, so f's curvature leaks a Jensen-gap term of order Var(X)·f''. The
+    reference tonemap is nearly linear (a ``lum_o**0.01`` scale), so this
+    is second-order small; it vanishes as spp grows.
+    """
+    from pathtracer_tpu.ops.tonemap import tonemap_reference
+
+    def display_loss(rows):
+        return jnp.mean((tonemap_reference(rows) - target_rows) ** 2)
+
+    rad_a = _render_rows(params, scene, settings, frame, pixel_ids, ids_a)
+    rad_b = _render_rows(params, scene, settings, frame, pixel_ids, ids_b)
+    w_a = jax.grad(display_loss)(jax.lax.stop_gradient(rad_a))
+    w_b = jax.grad(display_loss)(jax.lax.stop_gradient(rad_b))
+    surrogate = 0.5 * jnp.sum(w_a * rad_b + w_b * rad_a)
+    monitor = display_loss(0.5 * (rad_a + rad_b))
+    return surrogate, monitor
+
+
+_OBJECTIVES = {
+    "radiance": _paired_objective,
+    "display": _paired_objective_tonemapped,
+}
+
+
+def make_train_step(settings, optimizer, mesh=None, loss_space="radiance"):
     """Jitted SGD/Adam step over material params.
 
     The step takes TWO sample-id arrays (independent waves) for the
     unbiased paired gradient (``_paired_objective``); pass the same array
-    twice for the plain biased-MSE gradient.
+    twice for the plain biased-MSE gradient. ``loss_space``: "radiance"
+    fits pre-tonemap radiance; "display" fits through the reference
+    tonemap against display-space targets (real PNGs).
 
     With ``mesh``: pixels shard over the ``rays`` axis via ``shard_map``,
     per-shard loss/grads are ``psum``-averaged (the collective rides ICI),
@@ -104,10 +144,12 @@ def make_train_step(settings, optimizer, mesh=None):
     data-parallel training step the driver's multichip dryrun exercises.
     """
 
+    objective = _OBJECTIVES[loss_space]
+
     def loss_and_grad_local(
         params, scene, frame, target_rows, pixel_ids, ids_a, ids_b
     ):
-        (_, loss), grads = jax.value_and_grad(_paired_objective, has_aux=True)(
+        (_, loss), grads = jax.value_and_grad(objective, has_aux=True)(
             params, scene, settings, frame, target_rows, pixel_ids, ids_a, ids_b
         )
         if mesh is not None:
@@ -172,10 +214,13 @@ def recover_materials(
     checkpoint_every: int = 10,
     fields=PARAM_FIELDS,
     stop_after: int | None = None,
+    loss_space: str = "radiance",
 ):
     """Gradient-descent recovery of material arrays from a target render.
 
-    ``target_image``: [H, W, 3] mean radiance (pre-tonemap). Returns
+    ``target_image``: [H, W, 3] mean radiance (pre-tonemap), or — with
+    ``loss_space="display"`` — a display-space [0, 1] image (e.g. a
+    decoded ground-truth PNG) fit through the reference tonemap. Returns
     (recovered params, list of losses). BASELINE.json config 5.
 
     ``checkpoint_path``: persist (params, optimizer state, step) every
@@ -204,7 +249,9 @@ def recover_materials(
             checkpoint_path, (params, opt_state, jnp.int32(0))
         )
         start = int(start_arr)
-    train_step = make_train_step(settings, optimizer, mesh=mesh)
+    train_step = make_train_step(
+        settings, optimizer, mesh=mesh, loss_space=loss_space
+    )
 
     frame = {
         k: jnp.asarray(v)
@@ -237,3 +284,68 @@ def recover_materials(
                 checkpoint_path, (params, opt_state, jnp.int32(step_idx + 1))
             )
     return params, losses
+
+
+def downsample_display(img, factor: int):
+    """Box-average a display-space [H, W, 3] image by ``factor``.
+
+    Matching resolutions this way (fit at H/f x W/f against the averaged
+    PNG) is the standard trick for cheap fits against a full-res target;
+    the tonemap and the box filter do not exactly commute, but the
+    reference tonemap is nearly linear so the gap is far below the
+    cross-renderer noise floor.
+    """
+    h, w, c = img.shape
+    return (
+        img.reshape(h // factor, factor, w // factor, factor, c)
+        .mean(axis=(1, 3))
+    )
+
+
+def recover_from_ground_truth(
+    ini_path: str,
+    target_png: str,
+    fit_size: int = 64,
+    steps: int = 120,
+    learning_rate: float = 5e-2,
+    fields=("mat_Kd",),
+    perturb: float = 0.5,
+    samples_per_pixel: int = 8,
+    max_depth: int = 9,
+    scene_override=None,
+):
+    """BASELINE.json config 5, verbatim: recover CornellBox materials from
+    the reference's actual ground-truth PNG (display space).
+
+    Loads the scene from ``ini_path``, perturbs the chosen material fields
+    by ``perturb``, and fits them against the decoded ``target_png``
+    through the reference tonemap at ``fit_size`` (the 512x512 PNG is
+    box-averaged down to match). Returns (true scene, perturbed scene,
+    recovered params, losses).
+    """
+    from pathtracer_tpu.models.scene import load_scene
+    from pathtracer_tpu.utils.image import read_png
+
+    scene, camera, settings, _ = load_scene(
+        ini_path,
+        width=fit_size,
+        height=fit_size,
+        samples_per_pixel=samples_per_pixel,
+        max_depth=max_depth,
+        scheduler="scan",
+    )
+    if scene_override is not None:
+        scene = scene_override(scene)
+    target = read_png(target_png)
+    factor = target.shape[0] // fit_size
+    target = downsample_display(target, factor)
+
+    pert = scene.replace(
+        **{f: getattr(scene, f) * perturb for f in fields}
+    )
+    params, losses = recover_materials(
+        pert, camera, settings, target,
+        steps=steps, learning_rate=learning_rate, fields=fields,
+        loss_space="display",
+    )
+    return scene, pert, params, losses

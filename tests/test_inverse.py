@@ -121,3 +121,77 @@ def test_recover_checkpoint_resume_identical(problem, tmp_path):
         np.testing.assert_array_equal(
             np.asarray(straight[k]), np.asarray(resumed[k])
         )
+
+
+def test_recover_albedo_from_reference_ground_truth_png(reference_root):
+    """BASELINE.json config 5 verbatim: start from perturbed materials and
+    recover CornellBox albedo against the reference's *actual* ground-truth
+    PNG (display space, through the reference tonemap).
+
+    Residual bias, measured and documented: the dominant gap is NOT the
+    tonemap (nearly linear) but the instructor-vs-reference renderer
+    difference — the instructor's GT is ~1.9x brighter in blue and ~0.88x
+    in red than a reference-faithful render with the true MTL materials
+    (this repo matches the reference's own student_outputs to ratio
+    1.00/0.98/0.93 per channel). A fit against GT therefore legitimately
+    inflates blue albedo to absorb that gap, so the gates are:
+
+    1. the fitted materials explain the GT image at least as well as the
+       *true* MTL materials do (the fit recovers the full signal), and
+       far better than the perturbed start;
+    2. red/green albedos (where the renderers agree) land near MTL truth
+       (within 0.30 — the perturbed start is ~0.40 off; the white
+       floor/ceiling/backWall triplet is partially gauge-coupled through
+       indirect light, so individual whites carry the largest residual).
+    """
+    import jax.numpy as jnp
+
+    from pathtracer_tpu.inverse import (
+        downsample_display, recover_from_ground_truth,
+    )
+    from pathtracer_tpu.models.scene import load_scene
+    from pathtracer_tpu.ops.tonemap import tonemap_reference
+    from pathtracer_tpu.utils.image import read_png
+
+    ini = str(reference_root / "scene_files/final/cornell_box_full_lighting.ini")
+    png = str(
+        reference_root
+        / "scene_assets/ground_truth/final/cornell_box_full_lighting.png"
+    )
+    scene, pert, params, losses = recover_from_ground_truth(
+        ini, png, fit_size=32, steps=100, learning_rate=4e-2,
+        fields=("mat_Kd",), perturb=0.45, samples_per_pixel=4, max_depth=17,
+    )
+
+    # Clean evaluation renders (same estimator, higher spp).
+    _, camera, ev, _ = load_scene(
+        ini, width=32, height=32, samples_per_pixel=32, max_depth=17,
+        scheduler="scan",
+    )
+    gt = downsample_display(read_png(png), 512 // 32)
+
+    def display_mse(s):
+        img = tonemap_reference(jnp.asarray(render(s, camera, ev)))
+        return float(np.mean((np.asarray(img) - gt) ** 2))
+
+    mse_true = display_mse(scene)
+    mse_pert = display_mse(pert)
+    mse_fit = display_mse(pert.replace(**params))
+    # Gate 1: fit explains GT at least as well as the true materials
+    # (it may do better — it absorbs the cross-renderer gap) and far
+    # better than the perturbed start.
+    assert mse_fit < 0.5 * mse_pert, (mse_pert, mse_fit)
+    assert mse_fit < 1.15 * mse_true, (mse_true, mse_fit)
+    # Gate 2: R/G albedo near MTL truth. The colored walls are pinned
+    # individually; the five white surfaces are gauge-coupled through
+    # indirect light (and absorb the red-channel renderer gap), so they
+    # are gated on their set mean plus a loose individual bound.
+    kd = np.asarray(params["mat_Kd"])
+    kd_true = np.asarray(scene.mat_Kd)
+    visible = np.asarray(scene.mat_Ke).sum(axis=1) == 0.0
+    colored = visible & (np.ptp(kd_true, axis=1) > 0.2)
+    white = visible & ~colored & (kd_true.sum(axis=1) > 0.5)
+    err_rg = np.abs(kd - kd_true)[:, :2].max(axis=1)
+    assert (err_rg[colored] < 0.25).all(), f"colored-wall error {err_rg[colored]}"
+    assert err_rg[white].mean() < 0.25, f"white-set mean error {err_rg[white]}"
+    assert (err_rg[visible] < 0.40).all(), f"worst-case error {err_rg[visible]}"
