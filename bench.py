@@ -106,8 +106,29 @@ def main():
         "boat: MedievalBoat.xml large-mesh stressor (12.5k tris)",
     )
     p.add_argument("--warmup", type=int, default=2)
+    p.add_argument(
+        "--repeat", type=int, default=3,
+        help="timed repetitions of the headline run; the best is reported "
+        "(run-to-run variance through the device tunnel is ~5-8%%)",
+    )
     p.add_argument("--intersector", default="auto")
     p.add_argument("--scheduler", default="regen", choices=("regen", "scan"))
+    shard_group = p.add_mutually_exclusive_group()
+    shard_group.add_argument(
+        "--sharded", dest="sharded", action="store_true", default=None,
+        help="also time the mesh-sharded regenerative pool over all "
+        "devices and report per-device rays/s + efficiency vs the "
+        "single-device number (on a 1-chip host this measures sharding "
+        "overhead; on a multi-chip mesh, scaling efficiency)",
+    )
+    shard_group.add_argument("--no-sharded", dest="sharded", action="store_false")
+    boat_group = p.add_mutually_exclusive_group()
+    boat_group.add_argument(
+        "--boat", dest="boat", action="store_true", default=None,
+        help="also render the MedievalBoat large-mesh stressor and report "
+        "its rays/s (BASELINE config 4)",
+    )
+    boat_group.add_argument("--no-boat", dest="boat", action="store_false")
     mse_group = p.add_mutually_exclusive_group()
     mse_group.add_argument(
         "--mse", dest="mse", action="store_true", default=None,
@@ -188,9 +209,11 @@ def main():
 
         run()  # compile
         with traced:
-            t0 = time.perf_counter()
-            total_rays = run()
-            dt = time.perf_counter() - t0
+            dt = float("inf")
+            for _ in range(max(1, args.repeat)):
+                t0 = time.perf_counter()
+                total_rays = run()
+                dt = min(dt, time.perf_counter() - t0)
     else:
         # Warmup (compile) then timed samples.
         for s in range(args.warmup):
@@ -228,6 +251,69 @@ def main():
     }
     if args.trace:
         result["trace_dir"] = args.trace
+
+    do_sharded = args.sharded
+    if do_sharded is None:
+        do_sharded = args.scene == "cornell" and args.scheduler == "regen"
+    if do_sharded:
+        from pathtracer_tpu.parallel.render import render_pool_sharded_stats
+
+        n_dev = jax.device_count()
+        mean_s, rays_s, _ = render_pool_sharded_stats(scene, camera, settings)
+        jax.block_until_ready(mean_s)  # compile
+        dt_s = float("inf")
+        for _ in range(max(1, args.repeat)):
+            t0 = time.perf_counter()
+            mean_s, rays_s, _ = render_pool_sharded_stats(scene, camera, settings)
+            jax.block_until_ready(mean_s)
+            dt_s = min(dt_s, time.perf_counter() - t0)
+        rps_total = float(rays_s) / dt_s
+        per_dev = rps_total / n_dev
+        result["sharded"] = {
+            "n_devices": n_dev,
+            "rays_per_sec": round(rps_total, 1),
+            "rays_per_sec_per_device": round(per_dev, 1),
+            # vs the single-device pool above; ~1.0 on a 1-chip host means
+            # the mesh/psum machinery adds no overhead, >=0.85 is the
+            # multi-host scaling gate (BASELINE.json) when chips appear.
+            "efficiency": round(per_dev / rays_per_sec, 3),
+        }
+
+    do_boat = args.boat
+    if do_boat is None:
+        do_boat = args.scene == "cornell" and os.path.exists(
+            os.path.join(REFERENCE_ROOT, "scene_assets/MedievalBoat.xml")
+        )
+    if do_boat:
+        from pathtracer_tpu.models.scene import scene_from_graph
+        from pathtracer_tpu.models.scenegraph import load_scenegraph
+        from pathtracer_tpu.ops.wavefront import render_regenerative_stats
+
+        graph = load_scenegraph(
+            os.path.join(REFERENCE_ROOT, "scene_assets/MedievalBoat.xml")
+        )
+        b_scene, b_camera = scene_from_graph(
+            graph, os.path.join(REFERENCE_ROOT, "scene_assets")
+        )
+        b_settings = RenderSettings(
+            width=512, height=512, samples_per_pixel=4,
+            intersector=args.intersector,
+        )
+        mean_b, rays_b, _ = render_regenerative_stats(b_scene, b_camera, b_settings)
+        jax.block_until_ready(mean_b)  # compile
+        dt_b = float("inf")
+        for _ in range(max(1, args.repeat)):
+            t0 = time.perf_counter()
+            mean_b, rays_b, _ = render_regenerative_stats(b_scene, b_camera, b_settings)
+            jax.block_until_ready(mean_b)
+            dt_b = min(dt_b, time.perf_counter() - t0)
+        result["large_scene"] = {
+            "workload": "medieval_boat_512x512_spp4",
+            "tris": b_scene.num_tris,
+            "rays_per_sec": round(float(rays_b) / dt_b, 1),
+            "wall_s": round(dt_b, 3),
+            "intersector": args.intersector,
+        }
 
     do_mse = args.mse
     if do_mse is None:

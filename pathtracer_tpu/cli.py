@@ -28,14 +28,20 @@ def main(argv=None) -> int:
     p.add_argument(
         "--intersector",
         default="auto",
-        choices=("auto", "brute", "bvh", "pallas", "cluster"),
+        choices=("auto", "brute", "shortlist", "bvh", "pallas", "cluster"),
+        help="auto = brute sweep for small scenes, block-shortlist above "
+        "SHORTLIST_MIN_T triangles",
     )
     p.add_argument(
         "--seed", type=int, default=0,
         help="RNG stream seed (0 = the goldens' stream)",
     )
     p.add_argument("--tonemap", default="reference")
-    p.add_argument("--scheduler", default="regen", choices=("regen", "scan"))
+    p.add_argument(
+        "--scheduler", default="regen", choices=("regen", "scan"),
+        help="regen = regenerative wavefront pool (fastest); scan = "
+        "fixed-depth wave per sample — the differentiable path, ~4x slower",
+    )
     p.add_argument(
         "--checkpoint", default=None,
         help="path for resumable accumulation state (.npz)",

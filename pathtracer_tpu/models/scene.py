@@ -100,8 +100,10 @@ class RenderSettings:
     compat_fixed_eta: bool = True
     # shading normal = geometric normal (vertex normals abandoned in reference)
     use_vertex_normals: bool = False
-    # Implementation selection: "auto" | "brute" | "bvh" | "pallas" |
-    # "cluster" (cluster-culled Pallas sweep; see ops.intersect_cluster)
+    # Implementation selection: "auto" (brute below SHORTLIST_MIN_T tris,
+    # shortlist above) | "brute" | "shortlist" (block-shortlisted cluster
+    # sweep, ops.intersect_shortlist) | "bvh" | "pallas" | "cluster"
+    # (cluster-culled Pallas sweep; see ops.intersect_cluster)
     intersector: str = "auto"
     # NEE shadow rays: "fast" (t-only occlusion sweep; light attributes from
     # the sample itself) | "closest" (full closest-hit, the reference's

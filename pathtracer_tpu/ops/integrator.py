@@ -45,6 +45,23 @@ PI = jnp.pi
 NEE_OFFSET = 1.0e-4  # program-raymarch.wgsl:146
 RAY_OFFSET = 1.0e-3  # ray_with_epsilon, data-structs.wgsl:58-60
 
+# Dead lanes are re-aimed ("parked") at this far-outside origin pointing
+# +x before intersection: a guaranteed miss with moderate finite values
+# (no fake hits, no inf/NaN under reverse-mode AD). Masked lanes would be
+# ignored anyway, but parking lets block-granular intersectors
+# (ops.intersect_shortlist) skip dead lanes' stale rays instead of letting
+# them pollute the block's cluster shortlist. Shipped scenes span ~|20|.
+_PARK_POS = 1.0e6
+
+
+def _park_rays(o, d, live):
+    dead = ~live
+    o = jnp.where(dead[:, None], _PARK_POS, o)
+    d = jnp.where(
+        dead[:, None], jnp.asarray([1.0, 0.0, 0.0], o.dtype)[None, :], d
+    )
+    return o, d
+
 
 def _nee(scene, settings, hit, mat, d, beta, u, active):
     """Next-event estimation; returns (contribution [B, 3], shadow_hit [B]).
@@ -88,8 +105,9 @@ def _nee(scene, settings, hit, mat, d, beta, u, active):
                     settings.compat_count_light_pdf,
                 )
             )
+            s_o, s_d = _park_rays(offset_pt, ldir, active)
             occluded, s_hit_any = occluded_before(
-                scene, offset_pt, ldir, t_target, settings
+                scene, s_o, s_d, jnp.where(active, t_target, 0.0), settings
             )
             s_emissive = ~occluded & (jnp.sum(s_mat_ke, axis=-1) > 0.0)
             d2 = jnp.sum((hit.point - l_pt) ** 2, axis=-1)
@@ -98,7 +116,8 @@ def _nee(scene, settings, hit, mat, d, beta, u, active):
             ldir, weight = sample_area_lights(
                 scene, offset_pt, uc, u1, u2, settings.compat_count_light_pdf
             )
-            shadow, s_mat = closest_hit(scene, offset_pt, ldir, settings)
+            s_o, s_d = _park_rays(offset_pt, ldir, active)
+            shadow, s_mat = closest_hit(scene, s_o, s_d, settings)
             s_mat_ke = s_mat["Ke"]
             s_emissive = shadow.hit & (jnp.sum(s_mat_ke, axis=-1) > 0.0)
             s_hit_any = shadow.hit
@@ -154,7 +173,8 @@ def bounce_core(scene, settings, o, d, beta, radiance, alive, spec,
     # Live closest-hit rays this bounce (shadow rays counted below).
     n_rays = jnp.sum(alive.astype(jnp.float32))
 
-    hit, mat = closest_hit(scene, o, d, settings)
+    q_o, q_d = _park_rays(o, d, alive)
+    hit, mat = closest_hit(scene, q_o, q_d, settings)
     # Shading normal: interpolated vertex normals when enabled (equal to the
     # geometric normal otherwise) — drives all BSDF eval/sampling below.
     n = hit.normal_shade

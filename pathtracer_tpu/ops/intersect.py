@@ -150,6 +150,24 @@ def _closest_tri_tmajor(scene, o, d):
     return best_t, jnp.where(jnp.isfinite(best_t), best_id, -1)
 
 
+def _pick_tile(tp: int, want: int = 512) -> int:
+    """Sweep tile size for a padded triangle count (multiple of 128).
+
+    Never returns 128: a [B, 128] tile is pathologically slow on TPU
+    (measured 115x worse than 256+ — the per-tile broadcast/reduce overhead
+    swamps one lane-row of tests). Small scenes sweep in a single tile;
+    otherwise the largest divisor of ``tp`` in [256, 2048] (preferring close
+    to ``want``), falling back to one full-width tile when ``tp`` has no
+    such divisor (tp = 128 * prime).
+    """
+    if tp <= 2048:
+        return tp
+    for t in (want, *range(2048, 255, -128)):
+        if 256 <= t <= tp and tp % t == 0:
+            return t
+    return tp
+
+
 def closest_tri_brute(scene, o, d, tile: int = 512):
     """Closest triangle hit by masked sweep -> (t [B], tri_id [B]).
 
@@ -160,11 +178,7 @@ def closest_tri_brute(scene, o, d, tile: int = 512):
     if (scene.num_tris + 7) // 8 * 8 <= TMAJOR_MAX_T:
         return _closest_tri_tmajor(scene, o, d)
     tp = scene.padded_tris
-    # Largest tile <= requested that divides the padded count (tp is always a
-    # multiple of 128, so 128 is a guaranteed fallback).
-    tile = min(tile, tp)
-    while tp % tile != 0:
-        tile -= 128
+    tile = _pick_tile(tp, want=tile)
     n_tiles = tp // tile
     v0 = scene.tri_v0.reshape(n_tiles, tile, 3)
     e1 = scene.tri_e1.reshape(n_tiles, tile, 3)
@@ -195,6 +209,30 @@ def closest_tri_brute(scene, o, d, tile: int = 512):
     return best_t, best_id
 
 
+# `auto` switches from the brute sweep to the block-shortlist intersector at
+# this padded triangle count. Measured on TPU v5e (262k-ray waves): at 2.3k
+# tris shortlist ~matches brute (win on coherent waves, loss on scrambled);
+# at 12.7k tris it wins 2-6x. The crossover sits between; 4096 is the first
+# power-of-two safely past the measured tie.
+SHORTLIST_MIN_T = 4096
+
+
+def resolve_intersector(settings, scene) -> str:
+    """Concrete intersector for ``settings.intersector`` (resolving "auto").
+
+    auto -> "brute" (vectorized masked sweep; the [T, B] transposed layout
+    below TMAJOR_MAX_T) for small scenes, "shortlist" (block-shortlisted
+    cluster sweep, ops.intersect_shortlist) above SHORTLIST_MIN_T.
+    """
+    if settings.intersector == "auto":
+        return (
+            "shortlist"
+            if scene.padded_tris >= SHORTLIST_MIN_T
+            else "brute"
+        )
+    return settings.intersector
+
+
 def occluded_before(scene, o, d, t_max, settings, rel_eps: float = 1e-3):
     """Shadow visibility sweep -> (occluded [B] bool, hit_any [B] bool).
 
@@ -208,11 +246,9 @@ def occluded_before(scene, o, d, t_max, settings, rel_eps: float = 1e-3):
     (ops.lights.sample_area_lights_detailed).
     """
     t_cut = t_max * (1.0 - rel_eps)
+    method = resolve_intersector(settings, scene)
 
-    if (
-        settings.intersector in ("auto", "brute")
-        and (scene.num_tris + 7) // 8 * 8 <= TMAJOR_MAX_T
-    ):
+    if method == "brute" and (scene.num_tris + 7) // 8 * 8 <= TMAJOR_MAX_T:
         if scene.num_tris == 0:
             zero = (o[:, 0] + d[:, 0]) * 0.0
             occ = any_hit = zero != 0.0
@@ -220,11 +256,9 @@ def occluded_before(scene, o, d, t_max, settings, rel_eps: float = 1e-3):
             t, ok = _moller_trumbore_tmajor(scene, o, d)
             occ = jnp.any(ok & (t < t_cut[None, :]), axis=0)
             any_hit = jnp.any(ok, axis=0)
-    elif settings.intersector in ("auto", "brute"):
+    elif method == "brute":
         tp = scene.padded_tris
-        tile = min(512, tp)
-        while tp % tile != 0:
-            tile -= 128
+        tile = _pick_tile(tp)
         n_tiles = tp // tile
         v0 = scene.tri_v0.reshape(n_tiles, tile, 3)
         e1 = scene.tri_e1.reshape(n_tiles, tile, 3)
@@ -242,17 +276,35 @@ def occluded_before(scene, o, d, t_max, settings, rel_eps: float = 1e-3):
         zero = (o[:, 0] + d[:, 0]) * 0.0
         init = (zero != 0.0, zero != 0.0)
         (occ, any_hit), _ = jax.lax.scan(body, init, (v0, e1, e2, valid))
+    elif method == "shortlist" and not settings.direct_lighting_only:
+        # Occlusion-only shortlist: best_t starts at the cutoff, so clusters
+        # beyond the light sample are never swept. ``hit_any`` is consumed
+        # only on the directLightingOnly path (handled below), so here it
+        # aliases ``occ`` rather than paying for an unbounded sweep.
+        from pathtracer_tpu.ops.intersect_shortlist import (
+            occluded_tri_shortlist,
+        )
+
+        occ = occluded_tri_shortlist(scene, o, d, t_cut)
+        any_hit = occ
     else:
-        # BVH / Pallas / cluster configs reuse their closest-hit core (still
-        # skips the attribute-extraction stage, which is the expensive half).
-        if settings.intersector == "pallas":
+        # BVH / Pallas / cluster / shortlist(+DLO) configs reuse their
+        # closest-hit core (still skips the attribute-extraction stage,
+        # which is the expensive half).
+        if method == "pallas":
             from pathtracer_tpu.ops.intersect_pallas import closest_tri_pallas
 
             t_tri, _ = closest_tri_pallas(scene, o, d)
-        elif settings.intersector == "cluster":
+        elif method == "cluster":
             from pathtracer_tpu.ops.intersect_cluster import closest_tri_cluster
 
             t_tri, _ = closest_tri_cluster(scene, o, d)
+        elif method == "shortlist":
+            from pathtracer_tpu.ops.intersect_shortlist import (
+                closest_tri_shortlist,
+            )
+
+            t_tri, _ = closest_tri_shortlist(scene, o, d)
         else:
             from pathtracer_tpu.ops.bvh_traverse import closest_tri_bvh
 
@@ -265,31 +317,6 @@ def occluded_before(scene, o, d, t_max, settings, rel_eps: float = 1e-3):
         occ = occ | (t_a < t_cut)
         any_hit = any_hit | jnp.isfinite(t_a)
     return occ, any_hit
-
-
-def _shading_normal(scene, o, d, t, tri_id, n_geo, use_vertex_normals: bool):
-    if not use_vertex_normals:
-        return n_geo
-    # Recompute barycentrics for the single winning triangle per ray.
-    v0 = scene.tri_v0[tri_id]
-    e1 = scene.tri_e1[tri_id]
-    e2 = scene.tri_e2[tri_id]
-    pvec = jnp.cross(d, e2)
-    det = jnp.einsum("bk,bk->b", e1, pvec)
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > EPS_TRI, det, 1.0)
-    s = o - v0
-    u = jnp.einsum("bk,bk->b", s, pvec) * inv_det
-    qvec = jnp.cross(s, e1)
-    v = jnp.einsum("bk,bk->b", d, qvec) * inv_det
-    vn = scene.tri_vn[tri_id]  # [B, 3, 3]
-    n = (
-        (1.0 - u - v)[:, None] * vn[:, 0]
-        + u[:, None] * vn[:, 1]
-        + v[:, None] * vn[:, 2]
-    )
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n = n / jnp.maximum(norm, 1e-20)
-    return jnp.where((norm > 1e-12), n, n_geo)
 
 
 def intersect_analytic(scene, o, d):
@@ -452,7 +479,7 @@ def material_lookup(scene, mat_id):
 
 def _vn_shading_normal(o, d, v0, e1, e2, vn, n_geo):
     """Barycentric-interpolated shading normal from extracted per-winner
-    triangle data (same math as ``_shading_normal`` minus the gathers)."""
+    triangle data (no per-winner gathers — TPU gathers serialize)."""
     pvec = jnp.cross(d, e2)
     det = jnp.einsum("bk,bk->b", e1, pvec)
     inv_det = 1.0 / jnp.where(jnp.abs(det) > EPS_TRI, det, 1.0)
@@ -470,6 +497,56 @@ def _vn_shading_normal(o, d, v0, e1, e2, vn, n_geo):
     return jnp.where(norm > 1e-12, n, n_geo)
 
 
+# Within-cluster width of the two-stage winner extraction (= lane width).
+EXTRACT_SUB = 128
+
+
+def _two_stage_extract(scene, tri_id, want_vn: bool):
+    """Winner attributes for [B] tri ids when T is too large for a direct
+    [B, T] one-hot -> [B, ch] (ch = 4, or 22 with vertex normals).
+
+    Channels: n(0:3) mat_id(3); with ``want_vn``: v0(4:7) e1(7:10) e2(10:13)
+    vn(13:22). Replaces the serialized per-winner gathers (measured ~4.7 ms
+    per 262k wave at T=2.3k — the round-2 "extraction cliff") with two
+    chained exact selections:
+
+      1. cluster one-hot  [B, C] @ [C, ch*SUB]  (MXU, HIGHEST — exact row
+         copy; C = T/SUB so the operand never approaches the [B, T] blowup)
+      2. within-cluster one-hot multiply+reduce over the SUB axis (VPU,
+         fused: ``sum(stage1[B, ch, SUB] * onehot[B, 1, SUB], axis=2)``).
+
+    Miss lanes (tri_id = -1) select no cluster row and return zeros; the
+    caller sanitizes them. Material channels beyond mat_id come from
+    ``material_lookup`` (a [B, M] one-hot — M is always small).
+    """
+    tp = scene.padded_tris
+    sub = EXTRACT_SUB
+    c = tp // sub
+    cols = [scene.tri_n, scene.tri_mat.astype(jnp.float32)[:, None]]
+    if want_vn:
+        cols += [
+            scene.tri_v0,
+            scene.tri_e1,
+            scene.tri_e2,
+            scene.tri_vn.reshape(tp, 9),
+        ]
+    table = jnp.concatenate(cols, axis=1)  # [tp, ch]
+    ch = table.shape[1]
+    # Component-major cluster rows: ch blocks of SUB lane-aligned columns.
+    tbl = table.reshape(c, sub, ch).transpose(0, 2, 1).reshape(c, ch * sub)
+
+    hi = tri_id // sub  # -1 -> -1: selects no row, stage1 = 0
+    lo = tri_id - hi * sub
+    oh_hi = (hi[:, None] == jnp.arange(c, dtype=tri_id.dtype)).astype(
+        jnp.float32
+    )
+    s1 = _onehot_dot(oh_hi, tbl).reshape(-1, ch, sub)
+    oh_lo = (lo[:, None] == jnp.arange(sub, dtype=tri_id.dtype)).astype(
+        jnp.float32
+    )
+    return jnp.sum(s1 * oh_lo[:, None, :], axis=2)  # [B, ch]
+
+
 def closest_hit(scene, o, d, settings):
     """Fused scene closest-hit -> (Hit, material dict).
 
@@ -481,9 +558,15 @@ def closest_hit(scene, o, d, settings):
     (unit-z normal, Ni = 1) so downstream masked BSDF math stays NaN-free
     under reverse-mode AD.
     """
-    method = settings.intersector
-    if method in ("auto", "brute"):
+    method = resolve_intersector(settings, scene)
+    if method == "brute":
         t_tri, tri_id = closest_tri_brute(scene, o, d)
+    elif method == "shortlist":
+        from pathtracer_tpu.ops.intersect_shortlist import (
+            closest_tri_shortlist,
+        )
+
+        t_tri, tri_id = closest_tri_shortlist(scene, o, d)
     elif method == "pallas":
         from pathtracer_tpu.ops.intersect_pallas import closest_tri_pallas
 
@@ -521,13 +604,16 @@ def closest_hit(scene, o, d, settings):
         else:
             n_shade = n_geo
     else:
-        safe_id = jnp.maximum(tri_id, 0)
-        n_geo = scene.tri_n[safe_id]
-        mat_id = scene.tri_mat[safe_id]
+        a = _two_stage_extract(scene, tri_id, settings.use_vertex_normals)
+        n_geo = a[:, 0:3]
+        mat_id = a[:, 3].astype(jnp.int32)
         mat = material_lookup(scene, mat_id)
-        n_shade = _shading_normal(
-            scene, o, d, t_tri, safe_id, n_geo, settings.use_vertex_normals
-        )
+        if settings.use_vertex_normals:
+            n_shade = _vn_shading_normal(
+                o, d, a[:, 4:7], a[:, 7:10], a[:, 10:13], a[:, 13:22], n_geo
+            )
+        else:
+            n_shade = n_geo
 
     if scene.num_analytic > 0:
         t_a, p_a, n_a, m_a = intersect_analytic(scene, o, d)

@@ -19,15 +19,19 @@ Algorithm (exact — agrees with the brute sweep bit-for-bit on t):
   1. Triangles are packed in BVH-leaf order (models.pack), so consecutive
      CLUSTER-sized runs are spatially tight; cluster AABBs come from a
      per-cluster min/max reduction.
-  2. Every ray slab-tests every cluster AABB once: ``enter`` [B, C]
-     (vectorized tavianator test, cf. ray-bbox-intersection.wgsl:1-31).
-  3. Rounds: each ray-block ranks its not-yet-visited clusters by the
-     block-min entry distance *among rays the cluster could still improve*
-     (enter < best_t), takes the K nearest, sweeps their triangles
-     (Möller–Trumbore, masked), and updates per-ray best (t, id).
-  4. The loop exits when no unvisited cluster can improve any ray — the
-     same "node farther than closest hit" cull as the reference's
-     traversal (intersection-logic.wgsl:178-181), amortized per block.
+  2. Every ray slab-tests every cluster AABB once (vectorized tavianator
+     test, cf. ray-bbox-intersection.wgsl:1-31); only the *block-min*
+     entry distance [NB, C] is kept — the [B, C] matrix fuses into the
+     reduction and never materializes.
+  3. Rounds: each ray-block takes the K nearest unvisited clusters by
+     static block-min entry order (front-to-back, like the reference's
+     ordered traversal), sweeps their triangles (Möller–Trumbore, masked,
+     repacked into 128-wide tiles), and updates per-ray best (t, id).
+  4. The loop exits when every unvisited cluster's block-min entry exceeds
+     the block-max best_t — conservative-exact (min_b enter >= max_b
+     best_t implies enter[b] >= best_t[b] for every ray b), the same
+     "node farther than closest hit" cull as the reference's traversal
+     (intersection-logic.wgsl:178-181), amortized per block.
 
 Coherent blocks (camera/shadow waves; pool lanes are spawned pixel-
 contiguous) converge in 1-2 rounds; fully scrambled blocks fall back to
@@ -46,9 +50,13 @@ _INF = jnp.inf
 _BIG_F = 3.0e38
 _BIG_ID = 1.0e9  # > any triangle id; ids are exact in f32 (< 2^24)
 
-BLOCK = 1024  # rays per shortlist decision
-CLUSTER = 128  # triangles per cluster == TPU lane width
-K = 8  # clusters gathered per block per round
+# Defaults tuned on TPU v5e over 262k-ray camera/bounce waves (boat 12.7k
+# tris and CornellBox-Sphere 2.3k tris; see docs/PERF_NOTES.md). Small
+# clusters cull much tighter than lane-width ones; the sweep repacks K
+# gathered clusters into 128-wide tiles so lane utilization stays full.
+BLOCK = 256  # rays per shortlist decision
+CLUSTER = 32  # triangles per cluster (gather/cull granularity)
+K = 16  # clusters gathered per block per round (K*CLUSTER % 128 == 0)
 
 # Component order in the packed cluster table.
 _COMPS = 11  # v0.xyz e1.xyz e2.xyz id valid
@@ -122,13 +130,23 @@ def closest_tri_shortlist(
     scene,
     o,
     d,
+    t_init=None,
     block: int = BLOCK,
     k: int = K,
     cluster: int = CLUSTER,
     max_rounds: int | None = None,
 ):
     """Closest triangle hit -> (t [B] f32 — inf on miss, tri_id [B] i32 —
-    -1 on miss). Exact match with ``intersect.closest_tri_brute``."""
+    -1 on miss). Exact match with ``intersect.closest_tri_brute``.
+
+    ``t_init`` (optional [B] f32) caps the search: only hits strictly before
+    it are found (lanes with no such hit return ``t_init`` unchanged and id
+    -1-or-stale). The occlusion variant ``occluded_tri_shortlist`` uses this
+    — starting ``best_t`` at the shadow-ray cutoff makes the improvable cull
+    far stronger (a cluster whose entry distance exceeds the cutoff is never
+    swept), the same distance cull as the reference traversal
+    (intersection-logic.wgsl:178-181) but against t_max instead of +inf.
+    """
     b = o.shape[0]
     bp = -(-b // block) * block
     if bp != b:
@@ -138,6 +156,10 @@ def closest_tri_shortlist(
             [d, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], d.dtype), (pad, 1))],
             axis=0,
         )
+        if t_init is not None:
+            t_init = jnp.concatenate(
+                [t_init, jnp.zeros((pad,), t_init.dtype)], axis=0
+            )
     nb = bp // block
 
     table, lo, hi = _cluster_table(scene, cluster)
@@ -146,7 +168,17 @@ def closest_tri_shortlist(
     if max_rounds is None:
         max_rounds = -(-c // kc)  # exactness backstop: can visit every cluster
 
-    enter = _enter_dists(o, d, lo, hi).reshape(nb, block, c)
+    # Only the block-min entry distance is kept ([NB, C]); the full [B, C]
+    # matrix fuses into this reduction and never materializes. Ranking on
+    # the static block-min (nearest-first, like a front-to-back BVH walk)
+    # with a max-over-block best_t cull is conservative-exact: a cluster is
+    # skipped only when min_b enter[b,c] >= max_b best_t[b], which implies
+    # enter[b,c] >= best_t[b] for every ray b in the block. This replaces
+    # the earlier per-round exact key (a [NB, block, C] reduction that
+    # dominated the round cost ~2:1 over the actual triangle sweep).
+    min_enter = jnp.min(
+        _enter_dists(o, d, lo, hi).reshape(nb, block, c), axis=1
+    )  # [NB, C]
 
     # Ray components per block (data-dependent zero keeps shard_map axes).
     zero = (o[:, 0] + d[:, 0]) * 0.0
@@ -159,26 +191,35 @@ def closest_tri_shortlist(
 
     iota_c = jnp.arange(c, dtype=jnp.int32)
 
+    best_t0 = zero + _INF if t_init is None else zero + t_init
+    def improvable_key(best_t_max, visited):
+        """Ranking key per still-useful cluster -> [NB, C] (cheap: O(NB*C))."""
+        return jnp.where(
+            visited | (min_enter >= best_t_max[:, None]), _INF, min_enter
+        )
+
+    best_t0 = best_t0.reshape(nb, block)
+    visited0 = (zero[:nb, None] != 0.0) | jnp.zeros((nb, c), bool)
+    key0 = improvable_key(jnp.max(best_t0, axis=1), visited0)
     state = dict(
-        best_t=(zero + _INF).reshape(nb, block),
+        best_t=best_t0,
         best_id=(zero.astype(jnp.int32) - 1).reshape(nb, block),
-        visited=(zero[:nb, None] != 0.0) | jnp.zeros((nb, c), bool),
-        go=jnp.bool_(True) | (jnp.sum(zero) != 0.0),
+        visited=visited0,
+        go=jnp.any(jnp.isfinite(key0)),
         rounds=jnp.int32(0),
     )
 
-    def improvable_key(best_t, visited):
-        """Block-min entry distance per still-useful cluster -> [NB, C]."""
-        useful = enter < best_t[:, :, None]  # [NB, block, C]
-        key = jnp.min(jnp.where(useful, enter, _INF), axis=1)  # [NB, C]
-        return jnp.where(visited, _INF, key)
+    # Gathered cluster tiles are repacked to 128-wide sweep rows so small
+    # CLUSTER values (tighter culling) keep full VPU lane utilization.
+    sweep_w = 128 if (kc * cluster) % 128 == 0 else cluster
+    n_sweep = kc * cluster // sweep_w
 
     def cond(st):
         return st["go"] & (st["rounds"] < max_rounds)
 
     def body(st):
         best_t, best_id, visited = st["best_t"], st["best_id"], st["visited"]
-        key = improvable_key(best_t, visited)
+        key = improvable_key(jnp.max(best_t, axis=1), visited)
 
         # K-nearest clusters per block by iterative min extraction.
         sels = []
@@ -200,15 +241,20 @@ def closest_tri_shortlist(
             (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
         )  # [NB*K, 11*cluster]
+        # Repack component-major: [NB, comps, K*cluster] (cheap — g is a
+        # few MB), then sweep 128-wide slices at full lane width.
+        g = (
+            g.reshape(nb, kc, _COMPS, cluster)
+            .transpose(0, 2, 1, 3)
+            .reshape(nb, _COMPS, kc * cluster)
+        )
 
         def comp(j, s):
-            return g[:, j * cluster : (j + 1) * cluster].reshape(
-                nb, kc, cluster
-            )[:, s, :][:, None, :]  # [NB, 1, cluster]
+            return g[:, j, s * sweep_w : (s + 1) * sweep_w][:, None, :]
 
-        # Sweep the K cluster tiles with a running (t, id) minimum — the
+        # Sweep the repacked tiles with a running (t, id) minimum — the
         # same fused elementwise+reduce shape as the brute sweep's tiles.
-        for s in range(kc):
+        for s in range(n_sweep):
             ax, ay, az = comp(0, s), comp(1, s), comp(2, s)
             bx, by, bz = comp(3, s), comp(4, s), comp(5, s)
             cx, cy, cz = comp(6, s), comp(7, s), comp(8, s)
@@ -244,12 +290,12 @@ def closest_tri_shortlist(
             best_t = jnp.where(better, tile_t, best_t)
             best_id = jnp.where(better, tile_id.astype(jnp.int32), best_id)
 
-        go = jnp.any(jnp.isfinite(improvable_key(best_t, visited)))
+        key = improvable_key(jnp.max(best_t, axis=1), visited)
         return dict(
             best_t=best_t,
             best_id=best_id,
             visited=visited,
-            go=go,
+            go=jnp.any(jnp.isfinite(key)),
             rounds=st["rounds"] + 1,
         )
 
@@ -257,3 +303,25 @@ def closest_tri_shortlist(
     t_out = st["best_t"].reshape(bp)[:b]
     id_out = st["best_id"].reshape(bp)[:b]
     return t_out, jnp.where(jnp.isfinite(t_out), id_out, -1)
+
+
+def occluded_tri_shortlist(
+    scene,
+    o,
+    d,
+    t_cut,
+    block: int = BLOCK,
+    k: int = K,
+    cluster: int = CLUSTER,
+):
+    """Shadow occlusion -> occluded [B] bool (some triangle strictly before
+    ``t_cut``). Exact match with the brute occlusion sweep's ``occ`` output.
+
+    Same loop as the closest-hit shortlist, but ``best_t`` starts at the
+    cutoff, so clusters entirely beyond the light sample are never swept and
+    the loop exits as soon as no unvisited cluster reaches in front of it.
+    """
+    t, _ = closest_tri_shortlist(
+        scene, o, d, t_init=t_cut, block=block, k=k, cluster=cluster
+    )
+    return t < t_cut

@@ -110,6 +110,23 @@ def render_pool_sharded(
     fast path — the scan-based ``render_sharded`` stays as the
     bit-identical/differentiable variant.
     """
+    mean, _, _ = render_pool_sharded_stats(scene, camera, settings, mesh)
+    return mean
+
+
+def render_pool_sharded_stats(
+    scene: Scene,
+    camera: Camera,
+    settings: RenderSettings,
+    mesh=None,
+):
+    """Sharded regenerative render -> (mean radiance [H, W, 3], total rays
+    traced across devices, max pool iterations on any device).
+
+    The ray counter is the same live-lane metric the single-device pool
+    reports (SURVEY.md §5: rays/sec/chip as a first-class counter), psum'd
+    over the mesh — the measuring stick for multi-chip scaling efficiency.
+    """
     mesh = mesh if mesh is not None else make_mesh()
     frame = {
         k: jnp.asarray(v)
@@ -118,9 +135,9 @@ def render_pool_sharded(
     rep = NamedSharding(mesh, P())
     scene = jax.device_put(scene, rep)
     frame = jax.device_put(frame, rep)
-    image, _, _ = _pool_sharded(scene, frame, settings, mesh)
+    image, n_rays, iters = _pool_sharded(scene, frame, settings, mesh)
     mean = image / settings.samples_per_pixel
-    return mean.reshape(settings.height, settings.width, 3)
+    return mean.reshape(settings.height, settings.width, 3), n_rays, iters
 
 
 def render_sharded(

@@ -53,15 +53,36 @@ def test_final_scene_matches_reference_render(reference_root, name, threshold):
 
 
 def test_low_probability_config(reference_root):
-    """rr=0.1 config: shorter paths, must still be finite and lit."""
+    """rr=0.1 config: golden-gated like the other finals.
+
+    The reference's own 50-spp render of this config is itself noisy
+    (bench-measured full-size MSE vs it ~0.020), so the threshold here is
+    ~2x the noise floor measured at this reduced size — a real MSE gate,
+    not a smoke check, while staying robust to the golden's own variance.
+    """
+    from PIL import Image
+
     ini = str(
         reference_root
         / "scene_files/final/cornell_box_full_lighting_low_probability.ini"
     )
     scene, camera, settings, parsed = load_scene(
-        ini, width=32, height=32, samples_per_pixel=4
+        ini, width=SIZE, height=SIZE, samples_per_pixel=16
     )
     assert settings.rr_prob == 0.1
-    img = np.asarray(render(scene, camera, settings))
+    img = np.asarray(tonemap_reference(render(scene, camera, settings)))
     assert np.isfinite(img).all()
-    assert img.mean() > 0.0
+
+    golden_path = (
+        reference_root
+        / "student_outputs/final/cornell_box_full_lighting_low_probability.png"
+    )
+    golden = (
+        np.asarray(
+            Image.open(golden_path).convert("RGB").resize((SIZE, SIZE)),
+            dtype=np.float32,
+        )
+        / 255.0
+    )
+    err = mse(img, golden)
+    assert err < 0.040, f"low_probability: MSE {err:.5f} >= 0.040"

@@ -165,3 +165,28 @@ def test_sharded_grads_match_unsharded(box):
         np.testing.assert_allclose(
             np.asarray(p1[k]), np.asarray(p2[k]), rtol=1e-4, atol=1e-6
         )
+
+
+def test_pool_sharded_shortlist_intersector(reference_root):
+    """Sharded pool with the shortlist intersector (the production
+    large-scene path) matches the single-device render on a >2048-tri
+    scene — exercises the shortlist's while_loop + data-dependent state
+    under shard_map."""
+    from pathtracer_tpu.models.scene import load_scene
+    from pathtracer_tpu.parallel.mesh import make_mesh
+    from pathtracer_tpu.parallel.render import render_pool_sharded
+    from pathtracer_tpu.render import render
+
+    ini = str(reference_root / "scene_files/final/refraction.ini")
+    scene, camera, settings, _ = load_scene(
+        ini, width=12, height=12, samples_per_pixel=2,
+        intersector="shortlist", scheduler="regen",
+    )
+    import dataclasses
+
+    settings = dataclasses.replace(settings, max_depth=3)
+    single = np.asarray(render(scene, camera, settings))
+    sharded = np.asarray(
+        render_pool_sharded(scene, camera, settings, mesh=make_mesh())
+    )
+    np.testing.assert_allclose(single, sharded, rtol=3e-5, atol=3e-6)
