@@ -407,18 +407,20 @@ def _onehot_dot(onehot_f32, table):
     )
 
 
-def _tri_attr_table(scene, want_vn: bool):
+def _tri_attr_table(scene, want_vn: bool, rows: int | None = None):
     """Per-triangle attribute table [T, C] for one-hot winner extraction.
 
     Channels: n(0:3) Kd(3:6) Ks(6:9) Ke(9:12) Ns(12) Ni(13) illum(14)
     mat_id(15); with ``want_vn``: v0(16:19) e1(19:22) e2(22:25) vn(25:34).
     The per-triangle material gathers here are [T]-sized (tiny — T <=
     ONEHOT_MAX_T on this path) and their VJP scatter-adds straight into the
-    differentiable material arrays.
+    differentiable material arrays. ``rows`` truncates to the first rows
+    (the transposed-sweep path uses the 8-rounded count, not the 128 pad).
     """
-    tm = scene.tri_mat
+    r = slice(None) if rows is None else slice(0, rows)
+    tm = scene.tri_mat[r]
     cols = [
-        scene.tri_n,
+        scene.tri_n[r],
         scene.mat_Kd[tm],
         scene.mat_Ks[tm],
         scene.mat_Ke[tm],
@@ -428,12 +430,11 @@ def _tri_attr_table(scene, want_vn: bool):
         tm.astype(jnp.float32)[:, None],
     ]
     if want_vn:
-        t = scene.tri_v0.shape[0]
         cols += [
-            scene.tri_v0,
-            scene.tri_e1,
-            scene.tri_e2,
-            scene.tri_vn.reshape(t, 9),
+            scene.tri_v0[r],
+            scene.tri_e1[r],
+            scene.tri_e2[r],
+            scene.tri_vn[r].reshape(-1, 9),
         ]
     return jnp.concatenate(cols, axis=1)
 
@@ -588,12 +589,28 @@ def closest_hit(scene, o, d, settings):
     t_pt = jnp.where(jnp.isfinite(t_tri), t_tri, 0.0)
     point = o + t_pt[:, None] * d
 
-    if t_pad <= ONEHOT_MAX_T:
+    t8 = (scene.num_tris + 7) // 8 * 8
+    if method == "brute" and t8 <= TMAJOR_MAX_T:
+        # Transposed extraction to match the [T, B] sweep layout: the
+        # winner one-hot is [T8, B] (T8 << the 128-padded t_pad — for the
+        # 36-tri Cornell this is 40 vs 128 rows of [B] traffic, and the
+        # one-hot is the extraction's dominant cost), contracted on the
+        # MXU as [ch, T8] @ [T8, B] and transposed back ([ch, B] is small).
+        table = _tri_attr_table(scene, settings.use_vertex_normals, rows=t8)
+        oh_t = (
+            jnp.arange(t8, dtype=tri_id.dtype)[:, None] == tri_id[None, :]
+        ).astype(jnp.float32)
+        a = _onehot_dot(table.T, oh_t).T
+    elif t_pad <= ONEHOT_MAX_T:
         table = _tri_attr_table(scene, settings.use_vertex_normals)
         oh = (
             tri_id[:, None] == jnp.arange(t_pad, dtype=tri_id.dtype)
         ).astype(jnp.float32)
         a = _onehot_dot(oh, table)
+    else:
+        a = None  # two-stage extraction below
+
+    if a is not None:
         n_geo = a[:, 0:3]
         mat = _unpack_mat(a, off=3)
         mat_id = a[:, 15].astype(jnp.int32)
