@@ -65,27 +65,3 @@ def build_material_table(mats: list[ObjMaterial]) -> MaterialTable:
         Ke=np.array([m.Ke for m in mats], dtype=np.float32).reshape(-1, 3),
         names=[m.name for m in mats],
     )
-
-
-def concat_material_tables(tables: list[MaterialTable]) -> tuple[MaterialTable, list[int]]:
-    """Concatenate per-mesh tables into one; returns (table, row offsets)."""
-    offsets: list[int] = []
-    total = 0
-    for t in tables:
-        offsets.append(total)
-        total += t.count
-    if not tables:
-        return build_material_table([]), [0]
-    return (
-        MaterialTable(
-            Ns=np.concatenate([t.Ns for t in tables]),
-            Ni=np.concatenate([t.Ni for t in tables]),
-            illum=np.concatenate([t.illum for t in tables]),
-            Ka=np.concatenate([t.Ka for t in tables]),
-            Kd=np.concatenate([t.Kd for t in tables]),
-            Ks=np.concatenate([t.Ks for t in tables]),
-            Ke=np.concatenate([t.Ke for t in tables]),
-            names=[n for t in tables for n in t.names],
-        ),
-        offsets,
-    )

@@ -155,6 +155,14 @@ def pack_scene(
 
         t = len(order)
         tp = _round_up(max(t, 1), TRI_PAD)
+        # Large scenes pad further to a multiple of 512 so the brute sweep's
+        # tile picker (ops.intersect._pick_tile) always finds a divisor in
+        # [256, 2048]; without this, tp = 128 * prime forces either a
+        # single full-width tile (HBM blowup at big batches) or the
+        # pathological 128-wide tile. Padding rows are degenerate, so the
+        # extra <=384 triangles cost one partly-wasted tile at most.
+        if tp > 2048:
+            tp = _round_up(tp, 512)
         tri_v0 = _pad_rows(p0.astype(np.float32), tp)
         tri_e1 = _pad_rows(e1.astype(np.float32), tp)
         tri_e2 = _pad_rows(e2.astype(np.float32), tp)

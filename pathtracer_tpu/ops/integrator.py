@@ -194,6 +194,12 @@ def bounce_core(scene, settings, o, d, beta, radiance, alive, spec,
     contrib, shadow_hit = _nee(scene, settings, hit, mat, d, beta, u, alive)
     radiance = radiance + contrib
     if settings.direct_lighting_only:
+        # INVARIANT: ``shadow_hit`` ("the shadow ray hit *anything*") is only
+        # trustworthy here because occluded_before's shortlist fast path —
+        # which aliases hit_any to occluded-before-cutoff — is gated to
+        # ``not direct_lighting_only`` (ops/intersect.py, method ==
+        # "shortlist" branch). Any new consumer of hit_any outside this DLO
+        # block must widen that gate or compute hit_any for real.
         alive = alive & ~shadow_hit
 
     # -- Russian roulette (program-raymarch.wgsl:190-193)

@@ -165,7 +165,11 @@ def _pick_tile(tp: int, want: int = 512) -> int:
     for t in (want, *range(2048, 255, -128)):
         if 256 <= t <= tp and tp % t == 0:
             return t
-    return tp
+    # Unreachable for packer-produced scenes (pack.py pads tp > 2048 to a
+    # multiple of 512); for hand-built scenes with tp = 128 * prime, prefer
+    # the slow-but-bounded 128-wide tile over a single full-width sweep
+    # whose fused [B, tp] buffers can blow HBM at B = 262k.
+    return 128
 
 
 def closest_tri_brute(scene, o, d, tile: int = 512):
