@@ -46,6 +46,12 @@ def main(argv=None) -> int:
         "--checkpoint", default=None,
         help="path for resumable accumulation state (.npz)",
     )
+    p.add_argument(
+        "--preview-png", type=int, default=0, metavar="N",
+        help="write the tonemapped partial image every N samples "
+        "(<out>.preview_NNNN.png) — the reference displays every "
+        "accumulated frame (program-raymarch.ts:277-318)",
+    )
     p.add_argument("--sharded", action="store_true", help="shard over all devices")
     p.add_argument(
         "--light-sampling",
@@ -103,6 +109,21 @@ def main(argv=None) -> int:
         if done % max(1, total // 10) == 0 or done == total:
             print(f"  sample {done}/{total}", file=sys.stderr)
 
+    out = args.out or ini.output or "render.png"
+    out_dir = os.path.dirname(out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+
+    def preview(done_spp, mean):
+        import jax
+
+        from pathtracer_tpu.ops.tonemap import TONEMAPS
+
+        stem, ext = os.path.splitext(out)
+        path = f"{stem}.preview_{done_spp:04d}{ext or '.png'}"
+        write_png(path, jax.device_get(TONEMAPS[args.tonemap](mean)))
+        print(f"  preview {done_spp} spp -> {path}", file=sys.stderr)
+
     t0 = time.perf_counter()
     if args.checkpoint:
         import jax
@@ -134,17 +155,16 @@ def main(argv=None) -> int:
         from pathtracer_tpu.render import render_image
 
         img = render_image(
-            scene, camera, settings, tonemap=args.tonemap, progress_callback=progress
+            scene, camera, settings, tonemap=args.tonemap,
+            progress_callback=progress,
+            preview_every=args.preview_png,
+            preview_fn=preview if args.preview_png else None,
         )
     dt = time.perf_counter() - t0
 
     n_rays = settings.width * settings.height * settings.samples_per_pixel
     print(f"rendered in {dt:.2f}s ({n_rays / dt / 1e6:.2f} Mpaths/s)")
 
-    out = args.out or ini.output or "render.png"
-    out_dir = os.path.dirname(out)
-    if out_dir:
-        os.makedirs(out_dir, exist_ok=True)
     write_png(out, img)
     print(f"wrote {out}")
     return 0

@@ -123,10 +123,28 @@ def _enter_dists(o, d, lo, hi):
     return jnp.where(ok, jnp.maximum(t_near, 0.0), _INF)
 
 
+def closest_tri_shortlist(
+    scene,
+    o,
+    d,
+    t_init=None,
+    block: int = BLOCK,
+    k: int = K,
+    cluster: int = CLUSTER,
+    max_rounds: int | None = None,
+):
+    """Closest triangle hit -> (t [B], tri_id [B]); see the impl docstring."""
+    t, tid, _ = _closest_tri_shortlist_impl(
+        scene, o, d, t_init=t_init, block=block, k=k, cluster=cluster,
+        max_rounds=max_rounds,
+    )
+    return t, tid
+
+
 @functools.partial(
     jax.jit, static_argnames=("block", "k", "cluster", "max_rounds")
 )
-def closest_tri_shortlist(
+def _closest_tri_shortlist_impl(
     scene,
     o,
     d,
@@ -209,6 +227,11 @@ def closest_tri_shortlist(
         rounds=jnp.int32(0),
     )
 
+    # A zero row (valid = 0) at index C backs the unselected top-k slots:
+    # blocks with fewer than K improvable clusters gather it and the sweep
+    # mask drops its triangles.
+    table_pad = jnp.concatenate([table, jnp.zeros((1, table.shape[1]))], axis=0)
+
     # Gathered cluster tiles are repacked to 128-wide sweep rows so small
     # CLUSTER values (tighter culling) keep full VPU lane utilization.
     sweep_w = 128 if (kc * cluster) % 128 == 0 else cluster
@@ -221,26 +244,22 @@ def closest_tri_shortlist(
         best_t, best_id, visited = st["best_t"], st["best_id"], st["visited"]
         key = improvable_key(jnp.max(best_t, axis=1), visited)
 
-        # K-nearest clusters per block by iterative min extraction.
-        sels = []
-        for _ in range(kc):
-            cur = jnp.min(key, axis=1)  # [NB]
-            first = jnp.min(
-                jnp.where(key == cur[:, None], iota_c[None, :], c), axis=1
-            )
-            oh = (iota_c[None, :] == first[:, None]) & jnp.isfinite(cur)[:, None]
-            key = jnp.where(oh, _INF, key)
-            sels.append(oh)
-        onehot = jnp.stack(sels, axis=1)  # [NB, K, C] bool
-        visited = visited | jnp.any(onehot, axis=1)
+        # K-nearest clusters per block in one fused top-k (the round-3
+        # iterative min extraction was 16 dependent [NB, C] passes and
+        # dominated the round cost; see docs/PERF_NOTES.md round 4).
+        neg, idx = jax.lax.top_k(-key, kc)  # [NB, K]
+        picked = jnp.isfinite(neg)
+        idx = jnp.where(picked, idx, c)  # -> zero pad row
+        visited = visited | jnp.any(
+            idx[:, :, None] == iota_c[None, None, :], axis=1
+        )
 
-        # Exact MXU gather of the shortlisted clusters' triangle data.
-        g = jax.lax.dot_general(
-            onehot.reshape(nb * kc, c).astype(jnp.float32),
-            table,
-            (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [NB*K, 11*cluster]
+        # Gather the shortlisted clusters' triangle rows. Per-*block* row
+        # gathers are K/block-th of the per-ray gathers this module was
+        # designed to avoid — at [NB*K] rows they are ~10x cheaper than the
+        # exact one-hot MXU matmul at HIGHEST they replace (measured; the
+        # matmul predated this and survives in git history).
+        g = jnp.take(table_pad, idx.reshape(nb * kc), axis=0)
         # Repack component-major: [NB, comps, K*cluster] (cheap — g is a
         # few MB), then sweep 128-wide slices at full lane width.
         g = (
@@ -302,7 +321,12 @@ def closest_tri_shortlist(
     st = jax.lax.while_loop(cond, body, state)
     t_out = st["best_t"].reshape(bp)[:b]
     id_out = st["best_id"].reshape(bp)[:b]
-    return t_out, jnp.where(jnp.isfinite(t_out), id_out, -1)
+    return t_out, jnp.where(jnp.isfinite(t_out), id_out, -1), st["rounds"]
+
+
+def closest_tri_shortlist_stats(scene, o, d, **kw):
+    """Diagnostic variant -> (t, tri_id, rounds executed)."""
+    return _closest_tri_shortlist_impl(scene, o, d, **kw)
 
 
 def occluded_tri_shortlist(

@@ -50,32 +50,78 @@ def render(
     camera: Camera,
     settings: RenderSettings,
     progress_callback=None,
+    preview_every: int = 0,
+    preview_fn=None,
 ) -> jax.Array:
     """Full render -> mean radiance [H, W, 3] (pre-tonemap).
 
     ``settings.scheduler`` picks the engine: "regen" traces all samples in
     one regenerative-pool call (ops.wavefront); "scan" accumulates one
     progressive sample wave at a time like the reference's frame loop.
+
+    ``preview_every``/``preview_fn``: progressive preview — the reference
+    displays the accumulating image after every frame
+    (program-raymarch.ts:277-318); here ``preview_fn(done_spp, mean_hw3)``
+    is called with the running mean radiance every ``preview_every``
+    samples (the regen pool is chunked via ``sample_offset`` to surface
+    intermediates; counter-based RNG keeps the final image identical to an
+    unchunked render up to summation order).
     """
-    if settings.scheduler == "regen":
-        from pathtracer_tpu.ops.wavefront import render_regenerative
-
-        img = render_regenerative(scene, camera, settings)
-        if progress_callback is not None:
-            progress_callback(settings.samples_per_pixel, settings.samples_per_pixel)
-        return img
-
+    preview_every = preview_every if preview_fn is not None else 0
     frame = {
         k: jnp.asarray(v)
         for k, v in camera.ray_frame(settings.width, settings.height).items()
     }
     n_pixels = settings.width * settings.height
+    spp = settings.samples_per_pixel
+
+    if settings.scheduler == "regen":
+        from pathtracer_tpu.ops.wavefront import (
+            render_pool,
+            render_regenerative,
+        )
+
+        if not preview_every:
+            img = render_regenerative(scene, camera, settings)
+            if progress_callback is not None:
+                progress_callback(spp, spp)
+            return img
+
+        acc = jnp.zeros((n_pixels, 3), dtype=jnp.float32)
+        done = 0
+        while done < spp:
+            n = min(preview_every, spp - done)
+            img, _, _ = render_pool(
+                scene,
+                frame,
+                settings,
+                n_pixels=n_pixels,
+                batch=min(settings.batch_size, n_pixels * n),
+                rays_per_pixel=n,
+                sample_offset=done,
+            )
+            acc = acc + img
+            done += n
+            if done < spp:
+                preview_fn(
+                    done,
+                    (acc / done).reshape(settings.height, settings.width, 3),
+                )
+            if progress_callback is not None:
+                progress_callback(done, spp)
+        return (acc / spp).reshape(settings.height, settings.width, 3)
+
     acc = jnp.zeros((n_pixels, 3), dtype=jnp.float32)
-    for s in range(settings.samples_per_pixel):
+    for s in range(spp):
         acc = acc + sample_wave(scene, frame, settings, jnp.uint32(s))
+        done = s + 1
+        if preview_every and done % preview_every == 0 and done < spp:
+            preview_fn(
+                done, (acc / done).reshape(settings.height, settings.width, 3)
+            )
         if progress_callback is not None:
-            progress_callback(s + 1, settings.samples_per_pixel)
-    mean = acc / settings.samples_per_pixel
+            progress_callback(done, spp)
+    mean = acc / spp
     return mean.reshape(settings.height, settings.width, 3)
 
 
@@ -138,8 +184,13 @@ def render_image(
     settings: RenderSettings,
     tonemap: str = "reference",
     progress_callback=None,
+    preview_every: int = 0,
+    preview_fn=None,
 ) -> np.ndarray:
     """Render + tonemap -> numpy [H, W, 3] float in [0, 1]."""
-    mean = render(scene, camera, settings, progress_callback)
+    mean = render(
+        scene, camera, settings, progress_callback,
+        preview_every=preview_every, preview_fn=preview_fn,
+    )
     out = TONEMAPS[tonemap](mean)
     return np.asarray(jax.device_get(out))
