@@ -30,7 +30,12 @@ from pathtracer_tpu.ops.camera_rays import generate_rays
 from pathtracer_tpu.ops.integrator import radiance_batch
 from pathtracer_tpu.parallel.mesh import RAY_AXIS
 
-PARAM_FIELDS = ("mat_Kd", "mat_Ke", "mat_Ks")
+# Differentiable material arrays. ``mat_Ns`` (Phong roughness exponent) is
+# optimizable too — fit it with ``compat_count_light_pdf=False`` (or the
+# Beckmann lobe), since the compat NEE keys the glossy lobe on Ns == 40.0
+# *exactly* (program-raymarch.wgsl:160), which makes the loss discontinuous
+# in Ns; the corrected estimator keys on Ks > 0 and is smooth in Ns.
+PARAM_FIELDS = ("mat_Kd", "mat_Ke", "mat_Ks", "mat_Ns")
 
 
 def material_params(scene, fields=PARAM_FIELDS) -> dict:
@@ -187,10 +192,17 @@ def make_train_step(settings, optimizer, mesh=None, loss_space="radiance"):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         # Project onto the physical range: albedo/specular in [0, 1],
-        # emission >= 0. Bounds the Adam random walk on parameters with
+        # emission >= 0, Phong exponent in [1, 499] (the mirror lane gates
+        # on Ns > 500, ops/integrator.py — crossing it would flip the lobe
+        # discontinuously). Bounds the Adam random walk on parameters with
         # weak pixel coverage (Adam rescales even noise-dominated
         # gradients to full lr-sized steps).
-        clips = {"mat_Kd": (0.0, 1.0), "mat_Ks": (0.0, 1.0), "mat_Ke": (0.0, None)}
+        clips = {
+            "mat_Kd": (0.0, 1.0),
+            "mat_Ks": (0.0, 1.0),
+            "mat_Ke": (0.0, None),
+            "mat_Ns": (1.0, 499.0),
+        }
         params = {
             k: jnp.clip(v, *clips[k]) if k in clips else v
             for k, v in params.items()
@@ -215,6 +227,8 @@ def recover_materials(
     fields=PARAM_FIELDS,
     stop_after: int | None = None,
     loss_space: str = "radiance",
+    samples_per_step: int = 1,
+    optimizer=None,
 ):
     """Gradient-descent recovery of material arrays from a target render.
 
@@ -227,6 +241,20 @@ def recover_materials(
     ``checkpoint_every`` steps via ``utils.checkpoint.save_pytree`` and
     resume from it when present. Sample ids derive from the step index, so
     a resumed run is bit-identical to one that ran straight through.
+
+    ``samples_per_step``: paths per pixel per wave per step. Adam
+    normalizes even noise-dominated gradients to full lr-sized steps, so a
+    parameter whose signal is far below the 1-sample gradient noise (e.g.
+    the Phong exponent's highlight-shape signal) drifts at ~lr * SNR per
+    step; raising this multiplies the SNR by sqrt(samples_per_step).
+
+    ``optimizer``: optax transformation override. The default
+    adam+cosine(lr) follows the *normalized* gradient, whose drift
+    direction is the gradient's median-ish sign — wrong for heavy-tailed
+    Monte Carlo gradients (measured on the Phong exponent: mean -2.9e-5
+    pulling toward the optimum, but 56% of 1-sample steps positive). For
+    such parameters pass adam with a long first-moment window (b1 ~ 0.98),
+    which tracks the gradient *mean* across steps.
     """
     import os
 
@@ -238,9 +266,10 @@ def recover_materials(
     # peak lr must cover the largest parameter excursion (emission is
     # O(10)); cosine decay then polishes the O(1) albedos. Adam's
     # per-parameter normalization handles the 20x Kd-vs-Ke scale spread.
-    optimizer = optax.adam(
-        optax.cosine_decay_schedule(learning_rate, max(steps, 1))
-    )
+    if optimizer is None:
+        optimizer = optax.adam(
+            optax.cosine_decay_schedule(learning_rate, max(steps, 1))
+        )
     params = init_params or material_params(scene, fields)
     opt_state = optimizer.init(params)
     start = 0
@@ -258,8 +287,12 @@ def recover_materials(
         for k, v in camera.ray_frame(settings.width, settings.height).items()
     }
     n_pixels = settings.width * settings.height
-    pixel_ids = jnp.arange(n_pixels, dtype=jnp.uint32)
+    k = max(1, samples_per_step)
+    pixel_ids = jnp.tile(jnp.arange(n_pixels, dtype=jnp.uint32), k)
     target_rows = jnp.asarray(target_image).reshape(n_pixels, 3)
+    if k > 1:
+        target_rows = jnp.tile(target_rows, (k, 1))
+    sub = jnp.repeat(jnp.arange(k, dtype=jnp.uint32), n_pixels)
 
     # ``stop_after`` bounds this run's steps while keeping the lr schedule
     # on the full ``steps`` horizon — a later resumed run is then
@@ -267,9 +300,10 @@ def recover_materials(
     end = steps if stop_after is None else min(steps, start + stop_after)
     losses = []
     for step_idx in range(start, end):
-        # Two fresh independent waves per step (see _paired_objective).
-        ids_a = jnp.full((n_pixels,), 2 * step_idx, dtype=jnp.uint32)
-        ids_b = jnp.full((n_pixels,), 2 * step_idx + 1, dtype=jnp.uint32)
+        # Two fresh independent waves per step (see _paired_objective);
+        # each wave draws k samples per pixel from disjoint id ranges.
+        ids_a = jnp.uint32(2 * step_idx * k) + sub
+        ids_b = jnp.uint32((2 * step_idx + 1) * k) + sub
         params, opt_state, loss = train_step(
             params, opt_state, scene, frame, target_rows, pixel_ids,
             ids_a, ids_b,

@@ -51,8 +51,14 @@ def _box_quads(lo, hi, inward: bool = False):
     return tris
 
 
-def cornell_box_mesh() -> ObjMesh:
-    """A 36-triangle Cornell-style box (walls, two boxes, area light)."""
+def cornell_box_mesh(glossy_tall_box: bool = False) -> ObjMesh:
+    """A 36-triangle Cornell-style box (walls, two boxes, area light).
+
+    ``glossy_tall_box``: give the tall box its own Phong-glossy material
+    (Ks > 0, Ns = 40 — the reference's glossy lobe parameters,
+    program-raymarch.wgsl:262-278) so roughness/specular gradients have a
+    visible surface to fit (tests/test_inverse_roughness.py).
+    """
     mats = [
         ObjMaterial(name="white", Ns=10, illum=2, Kd=(0.725, 0.71, 0.68)),
         ObjMaterial(name="red", Ns=10, illum=2, Kd=(0.63, 0.065, 0.05)),
@@ -61,6 +67,15 @@ def cornell_box_mesh() -> ObjMesh:
             name="light", Ns=10, illum=2, Kd=(0.78, 0.78, 0.78), Ke=(17.0, 12.0, 4.0)
         ),
     ]
+    tall_mat = 0
+    if glossy_tall_box:
+        tall_mat = len(mats)
+        mats.append(
+            ObjMaterial(
+                name="glossy", Ns=40, illum=2,
+                Kd=(0.2, 0.2, 0.2), Ks=(0.6, 0.6, 0.6),
+            )
+        )
     tris: list[tuple] = []
     mat_ids: list[int] = []
 
@@ -80,7 +95,7 @@ def cornell_box_mesh() -> ObjMesh:
     add(_quad((-0.24, 1.98, -0.22), (0.23, 1.98, -0.22),
               (0.23, 1.98, 0.16), (-0.24, 1.98, 0.16)), 3)
     # Two boxes.
-    add(_box_quads((-0.55, 0.0, -0.55), (0.0, 1.2, -0.05)), 0)  # tall
+    add(_box_quads((-0.55, 0.0, -0.55), (0.0, 1.2, -0.05)), tall_mat)  # tall
     add(_box_quads((0.1, 0.0, 0.05), (0.65, 0.6, 0.6)), 0)  # short
 
     verts: list[tuple] = []
@@ -105,11 +120,13 @@ def cornell_box_mesh() -> ObjMesh:
     )
 
 
-def cornell_box_scene(max_leaf: int = 8):
+def cornell_box_scene(max_leaf: int = 8, glossy_tall_box: bool = False):
     """(Scene, Camera) for the procedural Cornell box."""
     from pathtracer_tpu.models.scene import _to_device
 
-    packed = pack_scene(cornell_box_mesh(), max_leaf=max_leaf)
+    packed = pack_scene(
+        cornell_box_mesh(glossy_tall_box=glossy_tall_box), max_leaf=max_leaf
+    )
     camera = Camera(
         pos=(0.0, 1.0, 3.6),
         up=(0.0, 1.0, 0.0),
