@@ -28,9 +28,10 @@ def main(argv=None) -> int:
     p.add_argument(
         "--intersector",
         default="auto",
-        choices=("auto", "brute", "shortlist", "bvh", "pallas", "cluster"),
-        help="auto = brute sweep for small scenes, block-shortlist above "
-        "SHORTLIST_MIN_T triangles",
+        choices=("auto", "brute", "shortlist", "shortlist_pallas", "bvh", "pallas", "cluster"),
+        help="auto = brute sweep for small scenes; above SHORTLIST_MIN_T "
+        "triangles the fused Pallas shortlist kernel (TPU) or the XLA "
+        "block-shortlist (CPU)",
     )
     p.add_argument(
         "--seed", type=int, default=0,

@@ -225,15 +225,21 @@ def resolve_intersector(settings, scene) -> str:
     """Concrete intersector for ``settings.intersector`` (resolving "auto").
 
     auto -> "brute" (vectorized masked sweep; the [T, B] transposed layout
-    below TMAJOR_MAX_T) for small scenes, "shortlist" (block-shortlisted
-    cluster sweep, ops.intersect_shortlist) above SHORTLIST_MIN_T.
+    below TMAJOR_MAX_T) for small scenes; above SHORTLIST_MIN_T, the fused
+    Pallas shortlist kernel on TPU (measured 2x the XLA shortlist on the
+    boat — docs/PERF_NOTES.md round 4) or the XLA "shortlist" elsewhere
+    (pallas_call only interprets on CPU).
     """
     if settings.intersector == "auto":
-        return (
-            "shortlist"
-            if scene.padded_tris >= SHORTLIST_MIN_T
-            else "brute"
-        )
+        if scene.padded_tris >= SHORTLIST_MIN_T:
+            import jax
+
+            return (
+                "shortlist_pallas"
+                if jax.default_backend() not in ("cpu",)
+                else "shortlist"
+            )
+        return "brute"
     return settings.intersector
 
 
@@ -280,16 +286,26 @@ def occluded_before(scene, o, d, t_max, settings, rel_eps: float = 1e-3):
         zero = (o[:, 0] + d[:, 0]) * 0.0
         init = (zero != 0.0, zero != 0.0)
         (occ, any_hit), _ = jax.lax.scan(body, init, (v0, e1, e2, valid))
-    elif method == "shortlist" and not settings.direct_lighting_only:
+    elif (
+        method in ("shortlist", "shortlist_pallas")
+        and not settings.direct_lighting_only
+    ):
         # Occlusion-only shortlist: best_t starts at the cutoff, so clusters
         # beyond the light sample are never swept. ``hit_any`` is consumed
         # only on the directLightingOnly path (handled below), so here it
         # aliases ``occ`` rather than paying for an unbounded sweep.
-        from pathtracer_tpu.ops.intersect_shortlist import (
-            occluded_tri_shortlist,
-        )
+        if method == "shortlist_pallas":
+            from pathtracer_tpu.ops.intersect_shortlist_pallas import (
+                occluded_tri_shortlist_pallas,
+            )
 
-        occ = occluded_tri_shortlist(scene, o, d, t_cut)
+            occ = occluded_tri_shortlist_pallas(scene, o, d, t_cut)
+        else:
+            from pathtracer_tpu.ops.intersect_shortlist import (
+                occluded_tri_shortlist,
+            )
+
+            occ = occluded_tri_shortlist(scene, o, d, t_cut)
         any_hit = occ
     else:
         # BVH / Pallas / cluster / shortlist(+DLO) configs reuse their
@@ -309,6 +325,12 @@ def occluded_before(scene, o, d, t_max, settings, rel_eps: float = 1e-3):
             )
 
             t_tri, _ = closest_tri_shortlist(scene, o, d)
+        elif method == "shortlist_pallas":
+            from pathtracer_tpu.ops.intersect_shortlist_pallas import (
+                closest_tri_shortlist_pallas,
+            )
+
+            t_tri, _ = closest_tri_shortlist_pallas(scene, o, d)
         else:
             from pathtracer_tpu.ops.bvh_traverse import closest_tri_bvh
 
@@ -572,6 +594,12 @@ def closest_hit(scene, o, d, settings):
         )
 
         t_tri, tri_id = closest_tri_shortlist(scene, o, d)
+    elif method == "shortlist_pallas":
+        from pathtracer_tpu.ops.intersect_shortlist_pallas import (
+            closest_tri_shortlist_pallas,
+        )
+
+        t_tri, tri_id = closest_tri_shortlist_pallas(scene, o, d)
     elif method == "pallas":
         from pathtracer_tpu.ops.intersect_pallas import closest_tri_pallas
 

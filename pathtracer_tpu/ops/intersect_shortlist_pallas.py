@@ -1,0 +1,295 @@
+"""Fused Pallas block-shortlist intersector (large scenes).
+
+Same algorithm as ``ops.intersect_shortlist`` (the capability matched is the
+reference's BVH traversal, ``src/wgsl-util/intersection-logic.wgsl:1-215``),
+fused into one Pallas kernel. The XLA version pays ~7 ms/round of fixed cost
+(top-k, cluster gather, repack relayout, two HBM round-trips of the gathered
+tiles) and runs every block for the *global* maximum round count because the
+``while_loop`` is branch-free over the whole batch. Fusing the loop into a
+kernel removes both:
+
+- the grid iterates 256-ray blocks; each block runs exactly as many rounds
+  as IT needs (dead/finished blocks cost one [block, C] slab pass and exit)
+  — the long drain tail of the regenerative pool gets cheap automatically;
+- the triangle-cluster table lives in VMEM (the 12.8k-tri boat is ~0.7 MB),
+  so the per-round "gather" is one dynamic row slice, and the per-ray
+  entry-distance matrix [block, C] stays resident in VMEM across rounds —
+  enabling the *exact* per-ray improvable cull (enter < best_t per ray)
+  instead of the XLA version's conservative block-max cull;
+- per round the only vector->scalar sync is one argmin (the shortlisted
+  cluster id); everything else is straight VPU work on aligned tiles.
+
+Exactness: identical contract to the XLA shortlist — agrees with the brute
+sweep bit-for-bit on t (same Moller-Trumbore math and epsilon, strict
+front-to-back improvement, min-id tie-break within a cluster row).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS_TRI = 1e-8  # ray-triangle-intersection.wgsl:5
+_INF = jnp.inf
+_BIG_F = 3.0e38
+_BIG_ID = 1.0e9  # > any triangle id; ids exact in f32 (< 2^24)
+
+BLOCK = 256  # rays per block (grid step)
+CLUSTER = 128  # triangles per cluster row (= lane width)
+
+_COMPS = 11  # v0.xyz e1.xyz e2.xyz id valid
+
+
+def _cluster_table_padded(scene, cluster: int):
+    """(table [16, CP*cluster], lo_t [8, CP], hi_t [8, CP]) — C lane-padded.
+
+    Component-major flat table: row j holds component j (v0.xyz e1.xyz
+    e2.xyz id valid) for every triangle in packed (BVH-leaf) order, so the
+    kernel's per-round cluster "gather" is a [1, cluster] slice at a
+    lane-aligned dynamic offset ``cidx * cluster`` — the only dynamic
+    VMEM access Mosaic supports cheaply (cf. the working pattern in
+    ops/intersect_cluster.py; dynamic *row* loads of a [C, 11*cluster]
+    table hit "dynamic load with unaligned indices"). Rows are padded to
+    16 for the (8, 128) f32 sublane tile. Cluster axis padded to a
+    multiple of 128; degenerate clusters get lo > hi and valid = 0.
+    """
+    t = scene.tri_v0.shape[0]
+    tp = -(-t // cluster) * cluster
+    c = tp // cluster
+    cp = -(-c // 128) * 128
+
+    def pad(a, rows):
+        if rows == a.shape[0]:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((rows - a.shape[0],) + a.shape[1:], a.dtype)], axis=0
+        )
+
+    v0, e1, e2 = (
+        pad(scene.tri_v0, tp), pad(scene.tri_e1, tp), pad(scene.tri_e2, tp)
+    )
+    valid = pad(scene.tri_valid, tp)
+    ids = jnp.arange(tp, dtype=jnp.float32)
+
+    rows = [v0[:, 0], v0[:, 1], v0[:, 2],
+            e1[:, 0], e1[:, 1], e1[:, 2],
+            e2[:, 0], e2[:, 1], e2[:, 2],
+            ids, valid.astype(jnp.float32)]
+    table = jnp.stack([pad(r, cp * cluster) for r in rows], axis=0)
+    table = jnp.concatenate(
+        [table, jnp.zeros((16 - _COMPS, cp * cluster))], axis=0
+    )  # [16, CP*cluster]
+
+    pts = jnp.stack([v0, v0 + e1, v0 + e2], axis=1)  # [tp, 3, 3]
+    m = valid[:, None, None]
+    lo = jnp.where(m, pts, _BIG_F).reshape(c, cluster * 3, 3).min(axis=1)
+    hi = jnp.where(m, pts, -_BIG_F).reshape(c, cluster * 3, 3).max(axis=1)
+    lo = pad(lo, cp).T  # [3, CP]
+    hi = pad(hi, cp).T
+    # Padded clusters: lo = 0, hi = 0 would look valid; force lo > hi.
+    if cp != c:
+        lo = lo.at[:, c:].set(_BIG_F)
+        hi = hi.at[:, c:].set(-_BIG_F)
+    lo8 = jnp.concatenate([lo, jnp.zeros((5, cp), lo.dtype)], axis=0)
+    hi8 = jnp.concatenate([hi, jnp.zeros((5, cp), hi.dtype)], axis=0)
+    return table, lo8, hi8
+
+
+def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
+            table_ref, lo_ref, hi_ref, t_out_ref, id_out_ref,
+            *, cluster: int, max_rounds: int):
+    block = ox_ref.shape[2]
+    cp = lo_ref.shape[1]
+
+    # Rays as [block, 1] columns (sublane axis = rays for the MT tiles).
+    ox = ox_ref[0, 0, :].reshape(block, 1)
+    oy = oy_ref[0, 0, :].reshape(block, 1)
+    oz = oz_ref[0, 0, :].reshape(block, 1)
+    dx = dx_ref[0, 0, :].reshape(block, 1)
+    dy = dy_ref[0, 0, :].reshape(block, 1)
+    dz = dz_ref[0, 0, :].reshape(block, 1)
+
+    # Slab entry distance of every ray to every cluster AABB -> [block, CP]
+    # (resident for the whole block; the per-ray improvable cull reads it
+    # every round). Same NaN-safe convention as the XLA shortlist.
+    t_near = jnp.full((block, cp), -_BIG_F)
+    t_far = jnp.full((block, cp), _BIG_F)
+    for ax, w, o_ax in ((0, dx, ox), (1, dy, oy), (2, dz, oz)):
+        mag = jnp.maximum(jnp.abs(w), 1e-12)
+        inv = jnp.where(w >= 0.0, 1.0, -1.0) / mag  # [block, 1]
+        lo_row = lo_ref[ax, :].reshape(1, cp)
+        hi_row = hi_ref[ax, :].reshape(1, cp)
+        t0 = (lo_row - o_ax) * inv
+        t1 = (hi_row - o_ax) * inv
+        t_near = jnp.maximum(t_near, jnp.minimum(t0, t1))
+        t_far = jnp.minimum(t_far, jnp.maximum(t0, t1))
+    cluster_ok = (lo_ref[0, :] <= hi_ref[0, :]).reshape(1, cp)
+    ok = (t_far >= t_near) & (t_far > 0.0) & cluster_ok
+    enter = jnp.where(ok, jnp.maximum(t_near, 0.0), _INF)
+
+    best_t0 = t0_ref[0, 0, :].reshape(block, 1)
+    best_id0 = jnp.full((block, 1), -1.0)
+    visited0 = jnp.zeros((1, cp), jnp.float32)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
+
+    def improvable_key(best_t, visited):
+        """[1, CP] min-over-rays entry of clusters still improvable for
+        *some* ray (exact per-ray cull: enter[b, c] < best_t[b])."""
+        useful = (enter < best_t) & (visited == 0.0)
+        return jnp.min(jnp.where(useful, enter, _INF), axis=0, keepdims=True)
+
+    def cond(carry):
+        _, _, _, go, rounds = carry
+        return go & (rounds < max_rounds)
+
+    def body(carry):
+        best_t, best_id, visited, _, rounds = carry
+        key = improvable_key(best_t, visited)
+        cidx = jnp.argmin(key[0, :])  # nearest improvable cluster (sync)
+        visited = jnp.where(iota_c == cidx, 1.0, visited)
+
+        start = pl.multiple_of(cidx * cluster, cluster)
+
+        def comp(j):
+            # [1, cluster] load at a lane-aligned dynamic offset (static
+            # sublane row) — see _cluster_table_padded for why this is the
+            # one dynamic-gather shape Mosaic lowers.
+            return table_ref[j : j + 1, pl.ds(start, cluster)]
+
+        ax_, ay, az = comp(0), comp(1), comp(2)
+        bx, by, bz = comp(3), comp(4), comp(5)
+        cx, cy, cz = comp(6), comp(7), comp(8)
+        tid, tval = comp(9), comp(10)
+
+        px = dy * cz - dz * cy
+        py = dz * cx - dx * cz
+        pz = dx * cy - dy * cx
+        det = bx * px + by * py + bz * pz
+        inv_det = 1.0 / jnp.where(jnp.abs(det) > EPS_TRI, det, 1.0)
+        sx, sy, sz = ox - ax_, oy - ay, oz - az
+        u = (sx * px + sy * py + sz * pz) * inv_det
+        qx = sy * bz - sz * by
+        qy = sz * bx - sx * bz
+        qz = sx * by - sy * bx
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (cx * qx + cy * qy + cz * qz) * inv_det
+        hit_ok = (
+            (jnp.abs(det) > EPS_TRI)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t > EPS_TRI) & (tval > 0.5)
+        )
+        t = jnp.where(hit_ok, t, _INF)  # [block, cluster]
+        tile_t = jnp.min(t, axis=1, keepdims=True)  # [block, 1]
+        tile_id = jnp.min(
+            jnp.where(t == tile_t, tid, _BIG_ID), axis=1, keepdims=True
+        )
+        better = tile_t < best_t
+        best_t = jnp.where(better, tile_t, best_t)
+        best_id = jnp.where(better, tile_id, best_id)
+
+        key = improvable_key(best_t, visited)
+        go = jnp.isfinite(jnp.min(key))
+        return best_t, best_id, visited, go, rounds + 1
+
+    key0 = improvable_key(best_t0, visited0)
+    go0 = jnp.isfinite(jnp.min(key0))
+    best_t, best_id, _, _, _ = jax.lax.while_loop(
+        cond, body, (best_t0, best_id0, visited0, go0, jnp.int32(0))
+    )
+
+    t_out_ref[0, 0, :] = best_t.reshape(1, block)[0, :]
+    id_out_ref[0, 0, :] = best_id.reshape(1, block)[0, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "cluster", "interpret")
+)
+def closest_tri_shortlist_pallas(
+    scene,
+    o,
+    d,
+    t_init=None,
+    block: int = BLOCK,
+    cluster: int = CLUSTER,
+    interpret: bool = False,
+):
+    """Closest triangle hit -> (t [B] f32 — inf on miss, tri_id [B] i32 —
+    -1 on miss). Exact match with ``intersect.closest_tri_brute``.
+
+    ``t_init`` (optional [B]) caps the search exactly as in the XLA
+    shortlist: only hits strictly before it are found; the occlusion
+    variant starts best_t at the shadow cutoff so far clusters are never
+    swept.
+    """
+    b = o.shape[0]
+    bp = -(-b // block) * block
+    if bp != b:
+        pad = bp - b
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1e30, o.dtype)], axis=0)
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], d.dtype), (pad, 1))],
+            axis=0,
+        )
+        if t_init is not None:
+            t_init = jnp.concatenate(
+                [t_init, jnp.zeros((pad,), t_init.dtype)], axis=0
+            )
+    nb = bp // block
+
+    table, lo8, hi8 = _cluster_table_padded(scene, cluster)
+    cp = lo8.shape[1]
+    max_rounds = cp  # exactness backstop: can visit every cluster
+
+    t0 = (
+        jnp.full((bp,), _INF, jnp.float32)
+        if t_init is None
+        else t_init.astype(jnp.float32)
+    )
+
+    def rows(a):
+        return a.reshape(nb, 1, block)
+
+    # [NB, 1, block] layout: the Mosaic lowering requires the last two
+    # block dims divisible by (8, 128) or equal to the array dims; a
+    # (1, 1, block) block satisfies that where a 2-D (1, block) row of an
+    # [NB, block] array would not (NB is the grid axis).
+    ray_spec = pl.BlockSpec(
+        (1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    t_out, id_out = pl.pallas_call(
+        functools.partial(_kernel, cluster=cluster, max_rounds=max_rounds),
+        grid=(nb,),
+        in_specs=[ray_spec] * 7 + [full, full, full],
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        rows(o[:, 0]), rows(o[:, 1]), rows(o[:, 2]),
+        rows(d[:, 0]), rows(d[:, 1]), rows(d[:, 2]),
+        rows(t0), table, lo8, hi8,
+    )
+    t_out = t_out.reshape(bp)[:b]
+    id_out = id_out.reshape(bp)[:b].astype(jnp.int32)
+    return t_out, jnp.where(jnp.isfinite(t_out), id_out, -1)
+
+
+def occluded_tri_shortlist_pallas(
+    scene, o, d, t_cut, block: int = BLOCK, cluster: int = CLUSTER,
+    interpret: bool = False,
+):
+    """Shadow occlusion -> occluded [B] bool (some triangle strictly before
+    ``t_cut``); cf. ``intersect_shortlist.occluded_tri_shortlist``."""
+    t, _ = closest_tri_shortlist_pallas(
+        scene, o, d, t_init=t_cut, block=block, cluster=cluster,
+        interpret=interpret,
+    )
+    return t < t_cut

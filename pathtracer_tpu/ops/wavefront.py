@@ -41,6 +41,40 @@ from pathtracer_tpu.ops.integrator import bounce_core
 _FLUSH_WAYS = 4
 
 
+def _compact_bits(x):
+    """Drop the odd bits of a u32 (inverse of 2D Morton interleave)."""
+    x = x & jnp.uint32(0x55555555)
+    x = (x | (x >> 1)) & jnp.uint32(0x33333333)
+    x = (x | (x >> 2)) & jnp.uint32(0x0F0F0F0F)
+    x = (x | (x >> 4)) & jnp.uint32(0x00FF00FF)
+    x = (x | (x >> 8)) & jnp.uint32(0x0000FFFF)
+    return x
+
+
+def _morton_pixel(p, width: int):
+    """Morton (Z-order) pixel for linear spawn index ``p`` (square 2^k dims).
+
+    Consecutive spawn ids then cover 2^j x 2^j pixel *tiles* instead of
+    scanline strips, so the block-granular intersectors
+    (ops.intersect_shortlist*) see spatially tight camera waves — a
+    256-lane block is a 16x16 tile whose rays share a handful of BVH-leaf
+    clusters, vs a half-scanline crossing the whole frustum. Pure bit
+    permutation of the pixel id space: same (pixel, sample) pairs overall,
+    same per-path radiance (counter RNG), only flush order changes.
+    """
+    x = _compact_bits(p)
+    y = _compact_bits(p >> jnp.uint32(1))
+    return y * jnp.uint32(width) + x
+
+
+def _spawn_order_morton(settings, n_pixels: int) -> bool:
+    return (
+        settings.width == settings.height
+        and settings.width & (settings.width - 1) == 0
+        and settings.width > 1
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -83,10 +117,14 @@ def render_pool(
     b = min(batch, total)
     b += (-b) % _FLUSH_WAYS  # W-way flush groups; extra lanes stay idle
 
+    morton = _spawn_order_morton(settings, n_pixels)
+
     def spawn(ray_ids, active):
         """Camera rays for [B] *local* ray ids (masked by ``active``)."""
         gids = ray_ids + offset
         pixel = (gids % n_pixels).astype(jnp.uint32)
+        if morton:
+            pixel = _morton_pixel(pixel, settings.width)
         sample = (gids // n_pixels).astype(jnp.uint32) + jnp.uint32(sample_offset)
         jitter = rng.pixel_jitter(settings, pixel, sample)
         o, d = generate_rays(frame, settings.width, settings.height, pixel, jitter)

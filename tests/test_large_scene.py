@@ -171,3 +171,47 @@ def test_boat_two_stage_extraction(boat, rng_np):
             np.testing.assert_allclose(
                 np.linalg.norm(ns, axis=1), 1.0, rtol=1e-5
             )
+
+
+def test_boat_pallas_shortlist_agrees_exactly(boat, rng_np):
+    """Fused Pallas shortlist kernel == brute bit-for-bit (interpret mode).
+
+    ops.intersect_shortlist_pallas fuses the shortlist loop (per-block
+    rounds, VMEM-resident cluster table + entry matrix); same exactness
+    contract as the XLA shortlist. Covers closest-hit and the t_init
+    occlusion path on mixed boat rays.
+    """
+    import jax.numpy as jnp
+
+    from pathtracer_tpu.ops.intersect import closest_tri_brute
+    from pathtracer_tpu.ops.intersect_shortlist_pallas import (
+        closest_tri_shortlist_pallas,
+        occluded_tri_shortlist_pallas,
+    )
+
+    scene, camera = boat
+    b = 700  # deliberately not a block multiple (exercises ray padding)
+    o = np.broadcast_to(np.asarray(camera.pos, np.float32), (b, 3)).copy()
+    o += rng_np.normal(size=(b, 3)).astype(np.float32) * 0.4
+    d = rng_np.normal(size=(b, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d.astype(np.float32))
+
+    t0, id0 = (np.asarray(a) for a in closest_tri_brute(scene, o, d))
+    hit = np.isfinite(t0)
+    assert hit.any()
+    for block, cluster in ((256, 128), (512, 128)):
+        t1, id1 = (
+            np.asarray(a)
+            for a in closest_tri_shortlist_pallas(
+                scene, o, d, block=block, cluster=cluster, interpret=True
+            )
+        )
+        assert np.array_equal(t0, t1), (block, cluster)
+        assert np.array_equal(id0[hit], id1[hit]), (block, cluster)
+
+    t_cut = jnp.asarray(rng_np.uniform(0.5, 30.0, size=b).astype(np.float32))
+    got = np.asarray(
+        occluded_tri_shortlist_pallas(scene, o, d, t_cut, interpret=True)
+    )
+    assert np.array_equal(np.asarray(jnp.asarray(t0) < t_cut), got)
