@@ -132,17 +132,18 @@ def closest_tri_shortlist(
     k: int = K,
     cluster: int = CLUSTER,
     max_rounds: int | None = None,
+    any_hit: bool = False,
 ):
     """Closest triangle hit -> (t [B], tri_id [B]); see the impl docstring."""
     t, tid, _ = _closest_tri_shortlist_impl(
         scene, o, d, t_init=t_init, block=block, k=k, cluster=cluster,
-        max_rounds=max_rounds,
+        max_rounds=max_rounds, any_hit=any_hit,
     )
     return t, tid
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "k", "cluster", "max_rounds")
+    jax.jit, static_argnames=("block", "k", "cluster", "max_rounds", "any_hit")
 )
 def _closest_tri_shortlist_impl(
     scene,
@@ -153,6 +154,7 @@ def _closest_tri_shortlist_impl(
     k: int = K,
     cluster: int = CLUSTER,
     max_rounds: int | None = None,
+    any_hit: bool = False,
 ):
     """Closest triangle hit -> (t [B] f32 — inf on miss, tri_id [B] i32 —
     -1 on miss). Exact match with ``intersect.closest_tri_brute``.
@@ -309,6 +311,14 @@ def _closest_tri_shortlist_impl(
             best_t = jnp.where(better, tile_t, best_t)
             best_id = jnp.where(better, tile_id.astype(jnp.int32), best_id)
 
+        if any_hit:
+            # Occlusion mode: any hit before the cutoff (best_t improved,
+            # since it started AT the cutoff) retires the ray — forcing
+            # best_t to 0 both keeps t < t_cut true for the caller and
+            # shrinks the block-max cull so whole blocks exit sooner. Only
+            # the occluded_* wrapper sets this (closest-hit contract given
+            # up). Cf. the reference shadow query's first-hit early-out.
+            best_t = jnp.where(best_t < best_t0, 0.0, best_t)
         key = improvable_key(jnp.max(best_t, axis=1), visited)
         return dict(
             best_t=best_t,
@@ -344,8 +354,10 @@ def occluded_tri_shortlist(
     Same loop as the closest-hit shortlist, but ``best_t`` starts at the
     cutoff, so clusters entirely beyond the light sample are never swept and
     the loop exits as soon as no unvisited cluster reaches in front of it.
+    Runs in any-hit mode: the first hit before the cutoff retires the ray.
     """
     t, _ = closest_tri_shortlist(
-        scene, o, d, t_init=t_cut, block=block, k=k, cluster=cluster
+        scene, o, d, t_init=t_cut, block=block, k=k, cluster=cluster,
+        any_hit=True,
     )
     return t < t_cut

@@ -99,20 +99,75 @@ def _cluster_table_padded(scene, cluster: int):
     return table, lo8, hi8
 
 
-def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
-            table_ref, lo_ref, hi_ref, t_out_ref, id_out_ref,
-            *, cluster: int, max_rounds: int):
-    block = ox_ref.shape[2]
+def _kernel(ray_ref, table_ref, lo_ref, hi_ref, out_ref,
+            *, cluster: int, max_rounds: int, any_hit: bool = False,
+            fetch: int = 4):
+    block = ray_ref.shape[2]
     cp = lo_ref.shape[1]
 
+    # All seven per-ray inputs ride ONE [1, 8, block] block (rows: o.xyz
+    # d.xyz t0 pad), and both outputs ONE [1, 8, block] block (rows: t id):
+    # the per-grid-step DMA count — which set a ~1.4 us/block floor when
+    # rays arrived as 7 separate [1, 1, block] streams — drops to 2.
     # Rays as [block, 1] columns (sublane axis = rays for the MT tiles).
-    ox = ox_ref[0, 0, :].reshape(block, 1)
-    oy = oy_ref[0, 0, :].reshape(block, 1)
-    oz = oz_ref[0, 0, :].reshape(block, 1)
-    dx = dx_ref[0, 0, :].reshape(block, 1)
-    dy = dy_ref[0, 0, :].reshape(block, 1)
-    dz = dz_ref[0, 0, :].reshape(block, 1)
+    ox = ray_ref[0, 0, :].reshape(block, 1)
+    oy = ray_ref[0, 1, :].reshape(block, 1)
+    oz = ray_ref[0, 2, :].reshape(block, 1)
+    dx = ray_ref[0, 3, :].reshape(block, 1)
+    dy = ray_ref[0, 4, :].reshape(block, 1)
+    dz = ray_ref[0, 5, :].reshape(block, 1)
 
+    best_t0 = ray_ref[0, 6, :].reshape(block, 1)
+    t0_cut = best_t0  # original cutoff (any-hit mode compares against it)
+
+    # Whole-block pre-test against the scene's root AABB: a block none of
+    # whose rays can reach the root box before its cutoff (the common case
+    # for all-parked blocks in the regenerative pool's drain tail, and for
+    # shadow blocks whose cutoffs are all short) skips the full [block, CP]
+    # slab pass, the resident `enter` matrix, and the round loop entirely —
+    # one ~[block, 1] slab + one any() sync instead of ~1.4 us of VPU work.
+    # Mirrors the reference's BVH root test (intersection-logic.wgsl:125).
+    t_near_r = jnp.full((block, 1), -_BIG_F)
+    t_far_r = jnp.full((block, 1), _BIG_F)
+    ok_c = (lo_ref[0, :] <= hi_ref[0, :]).reshape(1, cp)
+    for ax, w, o_ax in ((0, dx, ox), (1, dy, oy), (2, dz, oz)):
+        mag = jnp.maximum(jnp.abs(w), 1e-12)
+        inv = jnp.where(w >= 0.0, 1.0, -1.0) / mag  # [block, 1]
+        root_lo = jnp.min(
+            jnp.where(ok_c, lo_ref[ax, :].reshape(1, cp), _BIG_F)
+        )
+        root_hi = jnp.max(
+            jnp.where(ok_c, hi_ref[ax, :].reshape(1, cp), -_BIG_F)
+        )
+        t0 = (root_lo - o_ax) * inv
+        t1 = (root_hi - o_ax) * inv
+        t_near_r = jnp.maximum(t_near_r, jnp.minimum(t0, t1))
+        t_far_r = jnp.minimum(t_far_r, jnp.maximum(t0, t1))
+    root_reach = (
+        (t_far_r >= t_near_r)
+        & (t_far_r > 0.0)
+        & (jnp.maximum(t_near_r, 0.0) < best_t0)
+    )
+    block_live = jnp.any(root_reach)
+
+    @pl.when(jnp.logical_not(block_live))
+    def _dead_block():
+        out_ref[0, 0, :] = best_t0.reshape(1, block)[0, :]
+        out_ref[0, 1, :] = jnp.full((1, block), -1.0)[0, :]
+
+    @pl.when(block_live)
+    def _live_block():
+        _kernel_live(
+            ox, oy, oz, dx, dy, dz, best_t0, t0_cut,
+            table_ref, lo_ref, hi_ref, out_ref,
+            cluster=cluster, max_rounds=max_rounds, any_hit=any_hit,
+            fetch=fetch, block=block, cp=cp,
+        )
+
+
+def _kernel_live(ox, oy, oz, dx, dy, dz, best_t0, t0_cut,
+                 table_ref, lo_ref, hi_ref, out_ref,
+                 *, cluster, max_rounds, any_hit, fetch, block, cp):
     # Slab entry distance of every ray to every cluster AABB -> [block, CP]
     # (resident for the whole block; the per-ray improvable cull reads it
     # every round). Same NaN-safe convention as the XLA shortlist.
@@ -131,7 +186,6 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
     ok = (t_far >= t_near) & (t_far > 0.0) & cluster_ok
     enter = jnp.where(ok, jnp.maximum(t_near, 0.0), _INF)
 
-    best_t0 = t0_ref[0, 0, :].reshape(block, 1)
     best_id0 = jnp.full((block, 1), -1.0)
     visited0 = jnp.zeros((1, cp), jnp.float32)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
@@ -143,71 +197,91 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
         return jnp.min(jnp.where(useful, enter, _INF), axis=0, keepdims=True)
 
     def cond(carry):
-        _, _, _, go, rounds = carry
+        _, _, _, _, go, rounds = carry
         return go & (rounds < max_rounds)
 
     def body(carry):
-        best_t, best_id, visited, _, rounds = carry
-        key = improvable_key(best_t, visited)
-        cidx = jnp.argmin(key[0, :])  # nearest improvable cluster (sync)
-        visited = jnp.where(iota_c == cidx, 1.0, visited)
+        # ``key`` is carried between rounds (computed once per round, at the
+        # bottom) — recomputing it at the top too measurably dominated the
+        # per-round cost along with the argmin sync; see PERF_NOTES round 4.
+        best_t, best_id, visited, key, _, rounds = carry
 
-        start = pl.multiple_of(cidx * cluster, cluster)
+        # Pick the FETCH nearest improvable clusters by iterated argmin on
+        # the [1, CP] key (cheap), then sweep them back-to-back: the
+        # per-round fixed costs (key rebuild, go-check, loop bookkeeping)
+        # amortize over FETCH cluster sweeps. Blocks needing fewer than
+        # FETCH clusters sweep already-culled ones redundantly on their
+        # last round — wasted but correct (strict `better` update).
+        for _f in range(fetch):
+            cidx = jnp.argmin(key[0, :])  # nearest improvable (sync)
+            visited = jnp.where(iota_c == cidx, 1.0, visited)
+            key = jnp.where(iota_c == cidx, _INF, key)
 
-        def comp(j):
-            # [1, cluster] load at a lane-aligned dynamic offset (static
-            # sublane row) — see _cluster_table_padded for why this is the
-            # one dynamic-gather shape Mosaic lowers.
-            return table_ref[j : j + 1, pl.ds(start, cluster)]
+            start = pl.multiple_of(cidx * cluster, cluster)
 
-        ax_, ay, az = comp(0), comp(1), comp(2)
-        bx, by, bz = comp(3), comp(4), comp(5)
-        cx, cy, cz = comp(6), comp(7), comp(8)
-        tid, tval = comp(9), comp(10)
+            def comp(j, start=start):
+                # [1, cluster] load at a lane-aligned dynamic offset
+                # (static sublane row) — see _cluster_table_padded for why
+                # this is the one dynamic-gather shape Mosaic lowers.
+                return table_ref[j : j + 1, pl.ds(start, cluster)]
 
-        px = dy * cz - dz * cy
-        py = dz * cx - dx * cz
-        pz = dx * cy - dy * cx
-        det = bx * px + by * py + bz * pz
-        inv_det = 1.0 / jnp.where(jnp.abs(det) > EPS_TRI, det, 1.0)
-        sx, sy, sz = ox - ax_, oy - ay, oz - az
-        u = (sx * px + sy * py + sz * pz) * inv_det
-        qx = sy * bz - sz * by
-        qy = sz * bx - sx * bz
-        qz = sx * by - sy * bx
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        t = (cx * qx + cy * qy + cz * qz) * inv_det
-        hit_ok = (
-            (jnp.abs(det) > EPS_TRI)
-            & (u >= 0.0) & (u <= 1.0)
-            & (v >= 0.0) & (u + v <= 1.0)
-            & (t > EPS_TRI) & (tval > 0.5)
-        )
-        t = jnp.where(hit_ok, t, _INF)  # [block, cluster]
-        tile_t = jnp.min(t, axis=1, keepdims=True)  # [block, 1]
-        tile_id = jnp.min(
-            jnp.where(t == tile_t, tid, _BIG_ID), axis=1, keepdims=True
-        )
-        better = tile_t < best_t
-        best_t = jnp.where(better, tile_t, best_t)
-        best_id = jnp.where(better, tile_id, best_id)
+            ax_, ay, az = comp(0), comp(1), comp(2)
+            bx, by, bz = comp(3), comp(4), comp(5)
+            cx, cy, cz = comp(6), comp(7), comp(8)
+            tid, tval = comp(9), comp(10)
+
+            px = dy * cz - dz * cy
+            py = dz * cx - dx * cz
+            pz = dx * cy - dy * cx
+            det = bx * px + by * py + bz * pz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) > EPS_TRI, det, 1.0)
+            sx, sy, sz = ox - ax_, oy - ay, oz - az
+            u = (sx * px + sy * py + sz * pz) * inv_det
+            qx = sy * bz - sz * by
+            qy = sz * bx - sx * bz
+            qz = sx * by - sy * bx
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (cx * qx + cy * qy + cz * qz) * inv_det
+            hit_ok = (
+                (jnp.abs(det) > EPS_TRI)
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t > EPS_TRI) & (tval > 0.5)
+            )
+            t = jnp.where(hit_ok, t, _INF)  # [block, cluster]
+            tile_t = jnp.min(t, axis=1, keepdims=True)  # [block, 1]
+            tile_id = jnp.min(
+                jnp.where(t == tile_t, tid, _BIG_ID), axis=1, keepdims=True
+            )
+            better = tile_t < best_t
+            best_t = jnp.where(better, tile_t, best_t)
+            best_id = jnp.where(better, tile_id, best_id)
+
+        if any_hit:
+            # Occlusion mode: any hit before the cutoff (best_t improved at
+            # least once, since it started AT the cutoff) finishes the ray.
+            # Forcing best_t to 0 retires it from every cluster's improvable
+            # set (enter >= 0 always) while keeping t < t_cut true for the
+            # caller. The closest-hit contract is given up — only the
+            # occluded_* wrappers may set this.
+            best_t = jnp.where(best_t < t0_cut, 0.0, best_t)
 
         key = improvable_key(best_t, visited)
         go = jnp.isfinite(jnp.min(key))
-        return best_t, best_id, visited, go, rounds + 1
+        return best_t, best_id, visited, key, go, rounds + 1
 
     key0 = improvable_key(best_t0, visited0)
     go0 = jnp.isfinite(jnp.min(key0))
-    best_t, best_id, _, _, _ = jax.lax.while_loop(
-        cond, body, (best_t0, best_id0, visited0, go0, jnp.int32(0))
+    best_t, best_id, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (best_t0, best_id0, visited0, key0, go0, jnp.int32(0))
     )
 
-    t_out_ref[0, 0, :] = best_t.reshape(1, block)[0, :]
-    id_out_ref[0, 0, :] = best_id.reshape(1, block)[0, :]
+    out_ref[0, 0, :] = best_t.reshape(1, block)[0, :]
+    out_ref[0, 1, :] = best_id.reshape(1, block)[0, :]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "cluster", "interpret")
+    jax.jit, static_argnames=("block", "cluster", "interpret", "any_hit", "fetch")
 )
 def closest_tri_shortlist_pallas(
     scene,
@@ -217,6 +291,8 @@ def closest_tri_shortlist_pallas(
     block: int = BLOCK,
     cluster: int = CLUSTER,
     interpret: bool = False,
+    any_hit: bool = False,
+    fetch: int = 4,
 ):
     """Closest triangle hit -> (t [B] f32 — inf on miss, tri_id [B] i32 —
     -1 on miss). Exact match with ``intersect.closest_tri_brute``.
@@ -243,7 +319,7 @@ def closest_tri_shortlist_pallas(
 
     table, lo8, hi8 = _cluster_table_padded(scene, cluster)
     cp = lo8.shape[1]
-    max_rounds = cp  # exactness backstop: can visit every cluster
+    max_rounds = -(-cp // fetch)  # exactness backstop: all clusters visitable
 
     t0 = (
         jnp.full((bp,), _INF, jnp.float32)
@@ -251,34 +327,40 @@ def closest_tri_shortlist_pallas(
         else t_init.astype(jnp.float32)
     )
 
-    def rows(a):
-        return a.reshape(nb, 1, block)
+    # Pack the seven per-ray streams into one [NB, 8, block] array (rows:
+    # o.xyz d.xyz t0 pad) so each grid step moves ONE input DMA and ONE
+    # output DMA instead of nine — the per-block overhead floor measured
+    # ~1.4 us/block with separate streams (docs/PERF_NOTES.md round 4).
+    packed = (
+        jnp.stack(
+            [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t0,
+             jnp.zeros((bp,), jnp.float32)],
+            axis=0,
+        )
+        .reshape(8, nb, block)
+        .transpose(1, 0, 2)
+    )
 
-    # [NB, 1, block] layout: the Mosaic lowering requires the last two
-    # block dims divisible by (8, 128) or equal to the array dims; a
-    # (1, 1, block) block satisfies that where a 2-D (1, block) row of an
-    # [NB, block] array would not (NB is the grid axis).
+    # [NB, 8, block] layout: the Mosaic lowering requires the last two
+    # block dims divisible by (8, 128) or equal to the array dims; NB is
+    # the grid axis.
     ray_spec = pl.BlockSpec(
-        (1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 8, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    t_out, id_out = pl.pallas_call(
-        functools.partial(_kernel, cluster=cluster, max_rounds=max_rounds),
-        grid=(nb,),
-        in_specs=[ray_spec] * 7 + [full, full, full],
-        out_specs=(ray_spec, ray_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, cluster=cluster, max_rounds=max_rounds, any_hit=any_hit,
+            fetch=fetch,
         ),
+        grid=(nb,),
+        in_specs=[ray_spec, full, full, full],
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, 8, block), jnp.float32),
         interpret=interpret,
-    )(
-        rows(o[:, 0]), rows(o[:, 1]), rows(o[:, 2]),
-        rows(d[:, 0]), rows(d[:, 1]), rows(d[:, 2]),
-        rows(t0), table, lo8, hi8,
-    )
-    t_out = t_out.reshape(bp)[:b]
-    id_out = id_out.reshape(bp)[:b].astype(jnp.int32)
+    )(packed, table, lo8, hi8)
+    t_out = out[:, 0, :].reshape(bp)[:b]
+    id_out = out[:, 1, :].reshape(bp)[:b].astype(jnp.int32)
     return t_out, jnp.where(jnp.isfinite(t_out), id_out, -1)
 
 
@@ -287,9 +369,15 @@ def occluded_tri_shortlist_pallas(
     interpret: bool = False,
 ):
     """Shadow occlusion -> occluded [B] bool (some triangle strictly before
-    ``t_cut``); cf. ``intersect_shortlist.occluded_tri_shortlist``."""
+    ``t_cut``); cf. ``intersect_shortlist.occluded_tri_shortlist``.
+
+    Runs the kernel in any-hit mode: a ray exits as soon as *any* triangle
+    lands before the cutoff (the closest-hit refinement occlusion never
+    needed), the same early-out as the reference shadow query's
+    ``return true`` on first accepted hit semantics.
+    """
     t, _ = closest_tri_shortlist_pallas(
         scene, o, d, t_init=t_cut, block=block, cluster=cluster,
-        interpret=interpret,
+        interpret=interpret, any_hit=True,
     )
     return t < t_cut
