@@ -121,6 +121,11 @@ class RenderSettings:
     # Scheduler: "regen" (regenerative wavefront pool, ~4x faster) |
     # "scan" (fixed-depth wave per sample; the differentiable path)
     scheduler: str = "regen"
+    # Pool lane sorting by (spatial cell, direction octant) each iteration:
+    # "auto" (on when the resolved intersector is block-granular — the
+    # shortlist family; off for brute) | "on" | "off". Lane order never
+    # changes per-path radiance (counter RNG); only fp accumulation order.
+    ray_sort: str = "auto"
     # Rays per device batch (pixels*samples are chunked to this).
     batch_size: int = 1 << 18
 

@@ -213,6 +213,13 @@ def closest_tri_brute(scene, o, d, tile: int = 512):
     return best_t, best_id
 
 
+# In-kernel winner-attribute extraction (shortlist_pallas rows 2-5): the
+# winner's n/mat_id ride the kernel output instead of a two-stage one-hot
+# extraction pass. Env-overridable for experiments (PT_KERNEL_ATTRS=0/1).
+import os as _os
+
+USE_KERNEL_ATTRS = _os.environ.get("PT_KERNEL_ATTRS", "1") == "1"
+
 # `auto` switches from the brute sweep to the block-shortlist intersector at
 # this padded triangle count. Measured on TPU v5e (262k-ray waves): at 2.3k
 # tris shortlist ~matches brute (win on coherent waves, loss on scrambled);
@@ -586,6 +593,7 @@ def closest_hit(scene, o, d, settings):
     under reverse-mode AD.
     """
     method = resolve_intersector(settings, scene)
+    kernel_attrs = None  # (n_geo, mat_id) when the kernel extracts them
     if method == "brute":
         t_tri, tri_id = closest_tri_brute(scene, o, d)
     elif method == "shortlist":
@@ -597,9 +605,18 @@ def closest_hit(scene, o, d, settings):
     elif method == "shortlist_pallas":
         from pathtracer_tpu.ops.intersect_shortlist_pallas import (
             closest_tri_shortlist_pallas,
+            closest_tri_shortlist_pallas_attrs,
         )
 
-        t_tri, tri_id = closest_tri_shortlist_pallas(scene, o, d)
+        if settings.use_vertex_normals or not USE_KERNEL_ATTRS:
+            # The vn channels (18 extra) don't fit the kernel's attribute
+            # rows; fall back to the two-stage extraction below.
+            t_tri, tri_id = closest_tri_shortlist_pallas(scene, o, d)
+        else:
+            t_tri, tri_id, k_n, k_mat = closest_tri_shortlist_pallas_attrs(
+                scene, o, d
+            )
+            kernel_attrs = (k_n, k_mat)
     elif method == "pallas":
         from pathtracer_tpu.ops.intersect_pallas import closest_tri_pallas
 
@@ -622,7 +639,12 @@ def closest_hit(scene, o, d, settings):
     point = o + t_pt[:, None] * d
 
     t8 = (scene.num_tris + 7) // 8 * 8
-    if method == "brute" and t8 <= TMAJOR_MAX_T:
+    if kernel_attrs is not None:
+        n_geo, mat_id = kernel_attrs
+        mat = material_lookup(scene, mat_id)
+        n_shade = n_geo
+        a = None
+    elif method == "brute" and t8 <= TMAJOR_MAX_T:
         # Transposed extraction to match the [T, B] sweep layout: the
         # winner one-hot is [T8, B] (T8 << the 128-padded t_pad — for the
         # 36-tri Cornell this is 40 vs 128 rows of [B] traffic, and the
@@ -642,7 +664,9 @@ def closest_hit(scene, o, d, settings):
     else:
         a = None  # two-stage extraction below
 
-    if a is not None:
+    if kernel_attrs is not None:
+        pass  # n_geo/mat/mat_id/n_shade already set from the kernel rows
+    elif a is not None:
         n_geo = a[:, 0:3]
         mat = _unpack_mat(a, off=3)
         mat_id = a[:, 15].astype(jnp.int32)

@@ -27,11 +27,17 @@ front-to-back improvement, min-id tie-break within a cluster row).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Clusters swept per argmin round (amortizes the round's fixed cost; the
+# last round may redundantly re-sweep culled clusters). Overridable for
+# experiments via PT_SHORTLIST_FETCH.
+FETCH_DEFAULT = int(os.environ.get("PT_SHORTLIST_FETCH", "4"))
 
 EPS_TRI = 1e-8  # ray-triangle-intersection.wgsl:5
 _INF = jnp.inf
@@ -41,21 +47,31 @@ _BIG_ID = 1.0e9  # > any triangle id; ids exact in f32 (< 2^24)
 BLOCK = 256  # rays per block (grid step)
 CLUSTER = 128  # triangles per cluster row (= lane width)
 
-_COMPS = 11  # v0.xyz e1.xyz e2.xyz id valid
+_COMPS = 15  # v0.xyz e1.xyz e2.xyz id valid n.xyz mat_id
 
 
 def _cluster_table_padded(scene, cluster: int):
     """(table [16, CP*cluster], lo_t [8, CP], hi_t [8, CP]) — C lane-padded.
 
     Component-major flat table: row j holds component j (v0.xyz e1.xyz
-    e2.xyz id valid) for every triangle in packed (BVH-leaf) order, so the
-    kernel's per-round cluster "gather" is a [1, cluster] slice at a
-    lane-aligned dynamic offset ``cidx * cluster`` — the only dynamic
-    VMEM access Mosaic supports cheaply (cf. the working pattern in
+    e2.xyz id valid n.xyz mat_id) for every triangle in packed (BVH-leaf)
+    order, so the kernel's per-round cluster "gather" is a [1, cluster]
+    slice at a lane-aligned dynamic offset ``cidx * cluster`` — the only
+    dynamic VMEM access Mosaic supports cheaply (cf. the working pattern in
     ops/intersect_cluster.py; dynamic *row* loads of a [C, 11*cluster]
     table hit "dynamic load with unaligned indices"). Rows are padded to
     16 for the (8, 128) f32 sublane tile. Cluster axis padded to a
     multiple of 128; degenerate clusters get lo > hi and valid = 0.
+
+    Rows 11-14 (geometric normal + material id) feed the kernel's in-sweep
+    winner-attribute extraction (round 5): the winner's n/mat ride the
+    output for free instead of a separate two-stage one-hot extraction
+    pass (~2.6 ms per 262k wave at 2.5k tris, measured round 4).
+
+    The lo/hi tables' spare sublane rows 3-5 carry the scene root AABB
+    (min/max over valid clusters), broadcast across lanes, so the kernel's
+    whole-block root pre-test reads two scalars per axis instead of
+    reducing over [1, CP] every grid step (ADVICE r4 item 2).
     """
     t = scene.tri_v0.shape[0]
     tp = -(-t // cluster) * cluster
@@ -72,13 +88,16 @@ def _cluster_table_padded(scene, cluster: int):
     v0, e1, e2 = (
         pad(scene.tri_v0, tp), pad(scene.tri_e1, tp), pad(scene.tri_e2, tp)
     )
+    n = pad(scene.tri_n, tp)
+    mat = pad(scene.tri_mat.astype(jnp.float32), tp)
     valid = pad(scene.tri_valid, tp)
     ids = jnp.arange(tp, dtype=jnp.float32)
 
     rows = [v0[:, 0], v0[:, 1], v0[:, 2],
             e1[:, 0], e1[:, 1], e1[:, 2],
             e2[:, 0], e2[:, 1], e2[:, 2],
-            ids, valid.astype(jnp.float32)]
+            ids, valid.astype(jnp.float32),
+            n[:, 0], n[:, 1], n[:, 2], mat]
     table = jnp.stack([pad(r, cp * cluster) for r in rows], axis=0)
     table = jnp.concatenate(
         [table, jnp.zeros((16 - _COMPS, cp * cluster))], axis=0
@@ -94,14 +113,23 @@ def _cluster_table_padded(scene, cluster: int):
     if cp != c:
         lo = lo.at[:, c:].set(_BIG_F)
         hi = hi.at[:, c:].set(-_BIG_F)
-    lo8 = jnp.concatenate([lo, jnp.zeros((5, cp), lo.dtype)], axis=0)
-    hi8 = jnp.concatenate([hi, jnp.zeros((5, cp), hi.dtype)], axis=0)
+    ok_c = lo[0] <= hi[0]  # [CP] valid-cluster mask
+    root_lo = jnp.min(jnp.where(ok_c[None, :], lo, _BIG_F), axis=1)  # [3]
+    root_hi = jnp.max(jnp.where(ok_c[None, :], hi, -_BIG_F), axis=1)
+    lo8 = jnp.concatenate(
+        [lo, jnp.broadcast_to(root_lo[:, None], (3, cp)),
+         jnp.zeros((2, cp), lo.dtype)], axis=0
+    )
+    hi8 = jnp.concatenate(
+        [hi, jnp.broadcast_to(root_hi[:, None], (3, cp)),
+         jnp.zeros((2, cp), hi.dtype)], axis=0
+    )
     return table, lo8, hi8
 
 
 def _kernel(ray_ref, table_ref, lo_ref, hi_ref, out_ref,
             *, cluster: int, max_rounds: int, any_hit: bool = False,
-            fetch: int = 4):
+            fetch: int | None = None):
     block = ray_ref.shape[2]
     cp = lo_ref.shape[1]
 
@@ -127,18 +155,16 @@ def _kernel(ray_ref, table_ref, lo_ref, hi_ref, out_ref,
     # slab pass, the resident `enter` matrix, and the round loop entirely —
     # one ~[block, 1] slab + one any() sync instead of ~1.4 us of VPU work.
     # Mirrors the reference's BVH root test (intersection-logic.wgsl:125).
+    # Root lo/hi are precomputed per axis on the host and broadcast into
+    # lo/hi rows 3-5 (_cluster_table_padded) — no per-grid-step [1, CP]
+    # reductions (ADVICE r4 item 2).
     t_near_r = jnp.full((block, 1), -_BIG_F)
     t_far_r = jnp.full((block, 1), _BIG_F)
-    ok_c = (lo_ref[0, :] <= hi_ref[0, :]).reshape(1, cp)
     for ax, w, o_ax in ((0, dx, ox), (1, dy, oy), (2, dz, oz)):
         mag = jnp.maximum(jnp.abs(w), 1e-12)
         inv = jnp.where(w >= 0.0, 1.0, -1.0) / mag  # [block, 1]
-        root_lo = jnp.min(
-            jnp.where(ok_c, lo_ref[ax, :].reshape(1, cp), _BIG_F)
-        )
-        root_hi = jnp.max(
-            jnp.where(ok_c, hi_ref[ax, :].reshape(1, cp), -_BIG_F)
-        )
+        root_lo = lo_ref[3 + ax, 0]
+        root_hi = hi_ref[3 + ax, 0]
         t0 = (root_lo - o_ax) * inv
         t1 = (root_hi - o_ax) * inv
         t_near_r = jnp.maximum(t_near_r, jnp.minimum(t0, t1))
@@ -154,6 +180,8 @@ def _kernel(ray_ref, table_ref, lo_ref, hi_ref, out_ref,
     def _dead_block():
         out_ref[0, 0, :] = best_t0.reshape(1, block)[0, :]
         out_ref[0, 1, :] = jnp.full((1, block), -1.0)[0, :]
+        for r in range(2, 8):
+            out_ref[0, r, :] = jnp.zeros((1, block))[0, :]
 
     @pl.when(block_live)
     def _live_block():
@@ -187,6 +215,12 @@ def _kernel_live(ox, oy, oz, dx, dy, dz, best_t0, t0_cut,
     enter = jnp.where(ok, jnp.maximum(t_near, 0.0), _INF)
 
     best_id0 = jnp.full((block, 1), -1.0)
+    # Winner attributes (geometric normal + material id), extracted inside
+    # the sweep that found the winner (see the `better` update below) —
+    # replaces the host-side two-stage one-hot extraction for this path.
+    # Any-hit mode carries no attrs (t/id are not valid hit records there).
+    n_attrs = 0 if any_hit else 4
+    attr0 = tuple(jnp.zeros((block, 1)) for _ in range(n_attrs))
     visited0 = jnp.zeros((1, cp), jnp.float32)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
 
@@ -197,14 +231,14 @@ def _kernel_live(ox, oy, oz, dx, dy, dz, best_t0, t0_cut,
         return jnp.min(jnp.where(useful, enter, _INF), axis=0, keepdims=True)
 
     def cond(carry):
-        _, _, _, _, go, rounds = carry
+        go, rounds = carry[-2], carry[-1]
         return go & (rounds < max_rounds)
 
     def body(carry):
         # ``key`` is carried between rounds (computed once per round, at the
         # bottom) — recomputing it at the top too measurably dominated the
         # per-round cost along with the argmin sync; see PERF_NOTES round 4.
-        best_t, best_id, visited, key, _, rounds = carry
+        best_t, best_id, attrs, visited, key, _, rounds = carry
 
         # Pick the FETCH nearest improvable clusters by iterated argmin on
         # the [1, CP] key (cheap), then sweep them back-to-back: the
@@ -256,6 +290,21 @@ def _kernel_live(ox, oy, oz, dx, dy, dz, best_t0, t0_cut,
             better = tile_t < best_t
             best_t = jnp.where(better, tile_t, best_t)
             best_id = jnp.where(better, tile_id, best_id)
+            if not any_hit:
+                # In-sweep winner-attribute extraction: the winning column
+                # is uniquely identified by (t == tile_t) & (id == tile_id)
+                # (min-id tie-break), so a masked sum selects exactly one
+                # value per attribute — the winner's n/mat_id come out of
+                # the sweep that found it, no later extraction pass.
+                win = (t == tile_t) & (tid == tile_id)
+                new_attrs = []
+                for j, a in enumerate(attrs):
+                    row = comp(11 + j)  # n.x n.y n.z mat_id
+                    sel = jnp.sum(
+                        jnp.where(win, row, 0.0), axis=1, keepdims=True
+                    )
+                    new_attrs.append(jnp.where(better, sel, a))
+                attrs = tuple(new_attrs)
 
         if any_hit:
             # Occlusion mode: any hit before the cutoff (best_t improved at
@@ -268,22 +317,27 @@ def _kernel_live(ox, oy, oz, dx, dy, dz, best_t0, t0_cut,
 
         key = improvable_key(best_t, visited)
         go = jnp.isfinite(jnp.min(key))
-        return best_t, best_id, visited, key, go, rounds + 1
+        return best_t, best_id, attrs, visited, key, go, rounds + 1
 
     key0 = improvable_key(best_t0, visited0)
     go0 = jnp.isfinite(jnp.min(key0))
-    best_t, best_id, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (best_t0, best_id0, visited0, key0, go0, jnp.int32(0))
+    best_t, best_id, attrs, _, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (best_t0, best_id0, attr0, visited0, key0, go0, jnp.int32(0)),
     )
 
     out_ref[0, 0, :] = best_t.reshape(1, block)[0, :]
     out_ref[0, 1, :] = best_id.reshape(1, block)[0, :]
+    for j in range(n_attrs):  # n.x n.y n.z mat_id
+        out_ref[0, 2 + j, :] = attrs[j].reshape(1, block)[0, :]
+    for r in range(2 + n_attrs, 8):
+        out_ref[0, r, :] = jnp.zeros((1, block))[0, :]
 
 
 @functools.partial(
     jax.jit, static_argnames=("block", "cluster", "interpret", "any_hit", "fetch")
 )
-def closest_tri_shortlist_pallas(
+def _shortlist_pallas_raw(
     scene,
     o,
     d,
@@ -292,15 +346,22 @@ def closest_tri_shortlist_pallas(
     cluster: int = CLUSTER,
     interpret: bool = False,
     any_hit: bool = False,
-    fetch: int = 4,
+    fetch: int | None = None,
 ):
     """Closest triangle hit -> (t [B] f32 — inf on miss, tri_id [B] i32 —
-    -1 on miss). Exact match with ``intersect.closest_tri_brute``.
+    -1 on miss). Exact match with ``intersect.closest_tri_brute`` when
+    ``any_hit=False`` (the default).
 
     ``t_init`` (optional [B]) caps the search exactly as in the XLA
     shortlist: only hits strictly before it are found; the occlusion
     variant starts best_t at the shadow cutoff so far clusters are never
     swept.
+
+    ``any_hit=True`` DELIBERATELY BREAKS the closest-hit contract: a ray is
+    retired as soon as *any* triangle lands before its ``t_init`` cutoff by
+    forcing its t to 0, so the returned t/id are NOT valid hit records —
+    only "t < cutoff" is meaningful. Reserved for the ``occluded_*``
+    wrappers (ADVICE r4 item 3).
     """
     b = o.shape[0]
     bp = -(-b // block) * block
@@ -317,6 +378,7 @@ def closest_tri_shortlist_pallas(
             )
     nb = bp // block
 
+    fetch = FETCH_DEFAULT if fetch is None else fetch
     table, lo8, hi8 = _cluster_table_padded(scene, cluster)
     cp = lo8.shape[1]
     max_rounds = -(-cp // fetch)  # exactness backstop: all clusters visitable
@@ -361,7 +423,59 @@ def closest_tri_shortlist_pallas(
     )(packed, table, lo8, hi8)
     t_out = out[:, 0, :].reshape(bp)[:b]
     id_out = out[:, 1, :].reshape(bp)[:b].astype(jnp.int32)
-    return t_out, jnp.where(jnp.isfinite(t_out), id_out, -1)
+    return t_out, jnp.where(jnp.isfinite(t_out), id_out, -1), out
+
+
+def closest_tri_shortlist_pallas(
+    scene,
+    o,
+    d,
+    t_init=None,
+    block: int = BLOCK,
+    cluster: int = CLUSTER,
+    interpret: bool = False,
+    any_hit: bool = False,
+    fetch: int | None = None,
+):
+    t, tri_id, _ = _shortlist_pallas_raw(
+        scene, o, d, t_init=t_init, block=block, cluster=cluster,
+        interpret=interpret, any_hit=any_hit, fetch=fetch,
+    )
+    return t, tri_id
+
+
+def closest_tri_shortlist_pallas_attrs(
+    scene,
+    o,
+    d,
+    t_init=None,
+    block: int = BLOCK,
+    cluster: int = CLUSTER,
+    interpret: bool = False,
+    fetch: int | None = None,
+):
+    """Closest hit WITH winner attributes -> (t [B], tri_id [B] i32,
+    n_geo [B, 3], mat_id [B] i32).
+
+    The attributes are extracted inside the kernel's winning sweep (masked
+    sum over the winner column) — no host-side one-hot extraction pass.
+    Miss lanes return n = 0 (callers sanitize) and mat_id = 0.
+    """
+    t, tri_id, out = _shortlist_pallas_raw(
+        scene, o, d, t_init=t_init, block=block, cluster=cluster,
+        interpret=interpret, any_hit=False, fetch=fetch,
+    )
+    b = o.shape[0]
+    bp = out.shape[0] * out.shape[2]
+    # Row slices reshape freely ([nb, block] keeps the lane axis minor);
+    # the [B] -> [B, 3] stack is cheap (~0.1 ms/262k) where a
+    # [nb, 3, block] -> [bp, 3] transpose relayouts tiles (~4.3 ms).
+    nx = out[:, 2, :].reshape(bp)[:b]
+    ny = out[:, 3, :].reshape(bp)[:b]
+    nz = out[:, 4, :].reshape(bp)[:b]
+    n_geo = jnp.stack([nx, ny, nz], axis=-1)
+    mat_id = out[:, 5, :].reshape(bp)[:b].astype(jnp.int32)
+    return t, tri_id, n_geo, mat_id
 
 
 def occluded_tri_shortlist_pallas(

@@ -40,6 +40,88 @@ from pathtracer_tpu.ops.integrator import bounce_core
 # throttle completions and inflate the iteration count instead.
 _FLUSH_WAYS = 4
 
+# Ray-sort spatial grid resolution per axis (3 bits -> 9-bit Morton cell).
+_SORT_GRID = 8.0
+
+
+def _spread3(x):
+    """Interleave the low 3 bits of a u32 to bit positions 6, 3, 0."""
+    return ((x & 4) << 4) | ((x & 2) << 2) | (x & 1)
+
+
+def _sort_key(o, d, alive, lo, inv_extent):
+    """[B] u32 coherence key: dead-grouping bit | 9-bit Morton cell of the
+    ray origin (scene-AABB-normalized 8^3 grid) | 3-bit direction octant.
+
+    Lanes sorted by this key land in 256-ray blocks whose rays share both
+    a spatial cell and a direction octant — exactly the coherence the
+    block-granular shortlist intersectors convert into skipped cluster
+    sweeps (a block's cluster union approaches its per-ray shortlists).
+    Dead/holding lanes group at the end (their stale rays are parked by
+    the integrator; grouping makes those blocks root-test out in one step).
+    """
+    g = _SORT_GRID
+    cell = jnp.clip((o - lo) * inv_extent * g, 0.0, g - 1.0).astype(jnp.uint32)
+    morton = (
+        (_spread3(cell[:, 0]) << 2)
+        | (_spread3(cell[:, 1]) << 1)
+        | _spread3(cell[:, 2])
+    )
+    octant = (
+        (d[:, 0] < 0.0).astype(jnp.uint32) * 4
+        + (d[:, 1] < 0.0).astype(jnp.uint32) * 2
+        + (d[:, 2] < 0.0).astype(jnp.uint32)
+    )
+    dead = (~alive).astype(jnp.uint32)
+    return (dead << 13) | (morton << 3) | octant
+
+
+def _sort_pool_state(st, lo, inv_extent):
+    """Reorder the lane axis of the pool state by the coherence key.
+
+    The pool is lane-anonymous (all randomness is counter-based on the
+    global (pixel, sample) carried *with* each lane, the spawn counter is
+    global, and the flush scatter goes by pixel id), so any permutation of
+    the lane axis yields the same per-path radiance bit-for-bit; only the
+    image's fp accumulation order changes. lax.sort with 15 payload
+    operands costs ~0.15 ms at B=262k on v5e — negligible against the
+    >=10 ms/iteration it saves the block-shortlist intersectors on
+    incoherent bounce waves (docs/PERF_NOTES.md round 5).
+    """
+    key = _sort_key(st["o"], st["d"], st["alive"], lo, inv_extent)
+    flags = (
+        st["depth"].astype(jnp.uint32)
+        | (st["alive"].astype(jnp.uint32) << 8)
+        | (st["holding"].astype(jnp.uint32) << 9)
+        | (st["spec"].astype(jnp.uint32) << 10)
+    )
+    ops = jax.lax.sort(
+        (
+            key,
+            st["o"][:, 0], st["o"][:, 1], st["o"][:, 2],
+            st["d"][:, 0], st["d"][:, 1], st["d"][:, 2],
+            st["beta"][:, 0], st["beta"][:, 1], st["beta"][:, 2],
+            st["radiance"][:, 0], st["radiance"][:, 1], st["radiance"][:, 2],
+            st["pixel"], st["sample"], flags,
+        ),
+        num_keys=1,
+    )
+    (_, ox, oy, oz, dx, dy, dz, bx, by, bz, rx, ry, rz, pixel, sample,
+     flags) = ops
+    return dict(
+        st,
+        o=jnp.stack([ox, oy, oz], axis=-1),
+        d=jnp.stack([dx, dy, dz], axis=-1),
+        beta=jnp.stack([bx, by, bz], axis=-1),
+        radiance=jnp.stack([rx, ry, rz], axis=-1),
+        pixel=pixel,
+        sample=sample,
+        depth=(flags & jnp.uint32(0xFF)).astype(jnp.int32),
+        alive=(flags >> 8) & 1 == 1,
+        holding=(flags >> 9) & 1 == 1,
+        spec=(flags >> 10) & 1 == 1,
+    )
+
 
 def _compact_bits(x):
     """Drop the odd bits of a u32 (inverse of 2D Morton interleave)."""
@@ -158,10 +240,39 @@ def render_pool(
         iters=jnp.int32(0) + vary_u32.astype(jnp.int32),
     )
 
+    # Ray sorting: reorder the lane axis by (spatial cell, direction octant)
+    # each iteration so the block-granular shortlist intersectors see
+    # coherent 256-ray blocks even on bounce-scrambled waves. Free for the
+    # sort itself (~0.15 ms/262k); saves the block-union sweep tax
+    # (docs/PERF_NOTES.md round 5). Off for the brute sweep, whose cost is
+    # lane-order independent.
+    from pathtracer_tpu.ops.intersect import resolve_intersector
+
+    sort_rays = settings.ray_sort == "on" or (
+        settings.ray_sort == "auto"
+        and resolve_intersector(settings, scene)
+        in ("shortlist", "shortlist_pallas", "cluster")
+    )
+    if sort_rays:
+        pts = jnp.concatenate(
+            [
+                scene.tri_v0,
+                scene.tri_v0 + scene.tri_e1,
+                scene.tri_v0 + scene.tri_e2,
+            ],
+            axis=0,
+        )
+        valid3 = jnp.tile(scene.tri_valid, 3)[:, None]
+        sort_lo = jnp.min(jnp.where(valid3, pts, jnp.inf), axis=0)
+        sort_hi = jnp.max(jnp.where(valid3, pts, -jnp.inf), axis=0)
+        sort_inv = 1.0 / jnp.maximum(sort_hi - sort_lo, 1e-12)
+
     def cond(st):
         return jnp.any(st["alive"] | st["holding"])
 
     def body(st):
+        if sort_rays:
+            st = _sort_pool_state(st, sort_lo, sort_inv)
         o, d, beta, radiance, alive, spec, n = bounce_core(
             scene,
             settings,

@@ -56,6 +56,45 @@ def test_pool_sharded_matches_single(box):
     np.testing.assert_allclose(single, sharded, rtol=3e-5, atol=3e-6)
 
 
+@pytest.mark.parametrize("n_dev", [3, 5, 7])
+def test_pool_sharded_odd_device_counts(box, n_dev):
+    """Non-power-of-two meshes (VERDICT r4 task 6): both the per-device id
+    slicing (ceil division + ragged tail) and the psum reduce must be
+    correct when the device count does not divide the ray-id space."""
+    from pathtracer_tpu.parallel.mesh import make_mesh
+    from pathtracer_tpu.parallel.render import render_pool_sharded
+    from pathtracer_tpu.render import render
+
+    scene, camera = box
+    settings = RenderSettings(
+        width=16, height=16, samples_per_pixel=3, max_depth=4,
+        scheduler="regen",
+    )
+    mesh = make_mesh(jax.devices()[:n_dev])
+    single = np.asarray(render(scene, camera, settings))
+    sharded = np.asarray(
+        render_pool_sharded(scene, camera, settings, mesh=mesh)
+    )
+    np.testing.assert_allclose(single, sharded, rtol=3e-5, atol=3e-6)
+
+
+@pytest.mark.parametrize("n_dev", [3, 7])
+def test_scan_sharded_odd_device_counts(box, n_dev):
+    """Scan-path sharding at odd device counts stays bit-identical (the
+    pad-with-clamped-duplicate-ids path, sliced off after the wave)."""
+    from pathtracer_tpu.parallel.mesh import make_mesh
+    from pathtracer_tpu.parallel.render import render_sharded
+    from pathtracer_tpu.render import render
+
+    scene, camera = box
+    settings = RenderSettings(width=10, height=10, samples_per_pixel=2, max_depth=3)
+    assert (10 * 10) % n_dev != 0
+    mesh = make_mesh(jax.devices()[:n_dev])
+    single = np.asarray(render(scene, camera, settings))
+    sharded = np.asarray(render_sharded(scene, camera, settings, mesh=mesh))
+    np.testing.assert_array_equal(single, sharded)
+
+
 def test_pool_sharded_ragged_id_space(box):
     """Total ray count not divisible by the mesh: the last device's slice is
     ragged (id_limit masks the tail) and the result still matches."""
@@ -127,6 +166,53 @@ def test_sharded_train_step_runs_and_reduces(box):
         float(jnp.abs(new_params[k] - params[k]).sum()) for k in params
     )
     assert delta > 0.0
+
+
+def test_sharded_display_space_step_matches_unsharded(box):
+    """Display-space training (loss in tonemapped [0, 1] space) under the
+    mesh: previously only exercised unsharded (VERDICT r4 task 6). The
+    psum'd gradient must match the single-device gradient — the tonemap is
+    per-pixel, so sharding the pixel axis commutes with it."""
+    import optax
+
+    from pathtracer_tpu.inverse import make_train_step, material_params
+    from pathtracer_tpu.parallel.mesh import make_mesh
+
+    scene, camera = box
+    settings = RenderSettings(width=8, height=8, max_depth=3)
+    params = material_params(scene)
+    optimizer = optax.sgd(1e-1)
+    opt_state = optimizer.init(params)
+
+    n = settings.width * settings.height
+    frame = {
+        k: jnp.asarray(v)
+        for k, v in camera.ray_frame(settings.width, settings.height).items()
+    }
+    pixel_ids = jnp.arange(n, dtype=jnp.uint32)
+    sample_ids = jnp.zeros((n,), jnp.uint32)
+    target = jnp.full((n, 3), 0.25)
+
+    step_single = make_train_step(
+        settings, optimizer, mesh=None, loss_space="display"
+    )
+    step_sharded = make_train_step(
+        settings, optimizer, mesh=make_mesh(), loss_space="display"
+    )
+    p1, _, l1 = step_single(
+        params, opt_state, scene, frame, target, pixel_ids, sample_ids,
+        sample_ids + 1,
+    )
+    p2, _, l2 = step_sharded(
+        params, opt_state, scene, frame, target, pixel_ids, sample_ids,
+        sample_ids + 1,
+    )
+    assert np.isfinite(float(l1))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k]), rtol=1e-4, atol=1e-6
+        )
 
 
 def test_sharded_grads_match_unsharded(box):
