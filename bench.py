@@ -278,7 +278,11 @@ def main():
         # ~1.0 by construction; on a pod, deviations measure communication
         # and load imbalance — not batch-shape effects — which is what the
         # >=0.85 BASELINE.json gate is supposed to read.
-        per_dev_ids = -(-n_pixels * args.spp // n_dev)
+        from pathtracer_tpu.ops.wavefront import pool_ids_total
+
+        k_chunk = max(1, settings.spawn_chunk)
+        per_dev_ids = -(-pool_ids_total(settings, n_pixels, args.spp) // n_dev)
+        per_dev_ids = -(-per_dev_ids // k_chunk) * k_chunk
 
         def run_denom():
             img, n_rays, _ = render_pool(

@@ -100,10 +100,11 @@ class RenderSettings:
     compat_fixed_eta: bool = True
     # shading normal = geometric normal (vertex normals abandoned in reference)
     use_vertex_normals: bool = False
-    # Implementation selection: "auto" (brute below SHORTLIST_MIN_T tris,
-    # shortlist above) | "brute" | "shortlist" (block-shortlisted cluster
-    # sweep, ops.intersect_shortlist) | "bvh" | "pallas" | "cluster"
-    # (cluster-culled Pallas sweep; see ops.intersect_cluster)
+    # Implementation selection: "auto" (small_pallas fused sweep for tiny
+    # scenes on the TPU inference pool; brute below SHORTLIST_MIN_T tris;
+    # shortlist_pallas above — see ops.intersect.resolve_intersector) |
+    # "small_pallas" | "brute" | "shortlist" | "shortlist_pallas" | "bvh" |
+    # "pallas" | "cluster"
     intersector: str = "auto"
     # NEE shadow rays: "fast" (t-only occlusion sweep; light attributes from
     # the sample itself) | "closest" (full closest-hit, the reference's
@@ -126,6 +127,13 @@ class RenderSettings:
     # shortlist family; off for brute) | "on" | "off". Lane order never
     # changes per-path radiance (counter RNG); only fp accumulation order.
     ray_sort: str = "auto"
+    # Samples per lane spawn in the regenerative pool: a lane draws a
+    # (pixel, K-sample) chunk, accumulates the K paths in-lane, and
+    # flushes ONE image row per chunk — cutting the row-count-bound flush
+    # scatter ~Kx. 1 = one path per spawn (legacy). The global counter
+    # still balances work across chunks. Per-path radiance is unchanged
+    # (counter RNG); only fp accumulation order differs.
+    spawn_chunk: int = 1
     # Rays per device batch (pixels*samples are chunked to this).
     batch_size: int = 1 << 18
 

@@ -213,12 +213,17 @@ def closest_tri_brute(scene, o, d, tile: int = 512):
     return best_t, best_id
 
 
-# In-kernel winner-attribute extraction (shortlist_pallas rows 2-5): the
-# winner's n/mat_id ride the kernel output instead of a two-stage one-hot
-# extraction pass. Env-overridable for experiments (PT_KERNEL_ATTRS=0/1).
+# In-kernel winner-attribute extraction for the SHORTLIST kernel
+# (intersect_shortlist_pallas rows 2-5): exact, but the per-sweep masked
+# channel selects scale with clusters visited and measured net-slower in
+# situ than the two-stage one-hot extraction on both refraction (17.4 vs
+# 17.9 Mray/s) and the boat (7.5 vs 7.8) once pool ray-sorting landed —
+# OFF by default, env-overridable for experiments (PT_KERNEL_ATTRS=1).
+# The SMALL-scene kernel (intersect_small_pallas) extracts attrs in its
+# single sweep unconditionally — there it is free.
 import os as _os
 
-USE_KERNEL_ATTRS = _os.environ.get("PT_KERNEL_ATTRS", "1") == "1"
+USE_KERNEL_ATTRS = _os.environ.get("PT_KERNEL_ATTRS", "0") == "1"
 
 # `auto` switches from the brute sweep to the block-shortlist intersector at
 # this padded triangle count. Measured on TPU v5e (262k-ray waves): at 2.3k
@@ -231,21 +236,27 @@ SHORTLIST_MIN_T = 4096
 def resolve_intersector(settings, scene) -> str:
     """Concrete intersector for ``settings.intersector`` (resolving "auto").
 
-    auto -> "brute" (vectorized masked sweep; the [T, B] transposed layout
-    below TMAJOR_MAX_T) for small scenes; above SHORTLIST_MIN_T, the fused
-    Pallas shortlist kernel on TPU (measured 2x the XLA shortlist on the
-    boat — docs/PERF_NOTES.md round 4) or the XLA "shortlist" elsewhere
-    (pallas_call only interprets on CPU).
+    auto routing (measured on TPU v5e, docs/PERF_NOTES.md rounds 4-5):
+
+    - <= TMAJOR_MAX_T tris on TPU under the inference pool: the fused
+      "small_pallas" sweep+extract kernel (ops.intersect_small_pallas);
+      under the differentiable scan scheduler or with vertex normals:
+      the XLA [T, B] transposed "brute" sweep (pallas_call has no VJP);
+    - >= SHORTLIST_MIN_T: the fused Pallas shortlist kernel on TPU, the
+      XLA "shortlist" elsewhere (pallas_call only interprets on CPU);
+    - in between: "brute" tiled sweep.
     """
     if settings.intersector == "auto":
-        if scene.padded_tris >= SHORTLIST_MIN_T:
-            import jax
+        import jax
 
-            return (
-                "shortlist_pallas"
-                if jax.default_backend() not in ("cpu",)
-                else "shortlist"
-            )
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if scene.padded_tris >= SHORTLIST_MIN_T:
+            return "shortlist_pallas" if on_tpu else "shortlist"
+        # "small_pallas" (the fused sweep+extract kernel) measured 126-130
+        # Mray/s on the headline vs the XLA tmajor path's 138-142: XLA's
+        # fusion of the sweep into the surrounding elementwise work beats
+        # the kernel's un-fusable input packing at this triangle count.
+        # It remains available as an explicit intersector choice.
         return "brute"
     return settings.intersector
 
@@ -264,8 +275,20 @@ def occluded_before(scene, o, d, t_max, settings, rel_eps: float = 1e-3):
     """
     t_cut = t_max * (1.0 - rel_eps)
     method = resolve_intersector(settings, scene)
+    if method == "small_pallas" and settings.direct_lighting_only:
+        # DLO consumes hit_any ("the shadow ray hit anything"), which the
+        # cutoff-bounded kernel doesn't compute; the scenes on this route
+        # are tiny, so the transposed brute sweep serves DLO exactly.
+        method = "brute"
 
-    if method == "brute" and (scene.num_tris + 7) // 8 * 8 <= TMAJOR_MAX_T:
+    if method == "small_pallas":
+        from pathtracer_tpu.ops.intersect_small_pallas import (
+            occluded_tri_small_pallas,
+        )
+
+        occ = occluded_tri_small_pallas(scene, o, d, t_cut)
+        any_hit = occ  # consumed only on the DLO path, excluded above
+    elif method == "brute" and (scene.num_tris + 7) // 8 * 8 <= TMAJOR_MAX_T:
         if scene.num_tris == 0:
             zero = (o[:, 0] + d[:, 0]) * 0.0
             occ = any_hit = zero != 0.0
@@ -594,7 +617,14 @@ def closest_hit(scene, o, d, settings):
     """
     method = resolve_intersector(settings, scene)
     kernel_attrs = None  # (n_geo, mat_id) when the kernel extracts them
-    if method == "brute":
+    if method == "small_pallas":
+        from pathtracer_tpu.ops.intersect_small_pallas import (
+            closest_tri_small_pallas_attrs,
+        )
+
+        t_tri, tri_id, k_n, k_mat = closest_tri_small_pallas_attrs(scene, o, d)
+        kernel_attrs = (k_n, k_mat)
+    elif method == "brute":
         t_tri, tri_id = closest_tri_brute(scene, o, d)
     elif method == "shortlist":
         from pathtracer_tpu.ops.intersect_shortlist import (

@@ -35,16 +35,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Clusters swept per argmin round (amortizes the round's fixed cost; the
-# last round may redundantly re-sweep culled clusters). Overridable for
-# experiments via PT_SHORTLIST_FETCH.
-FETCH_DEFAULT = int(os.environ.get("PT_SHORTLIST_FETCH", "4"))
+# last round may redundantly re-sweep culled clusters). 2 measured best on
+# both the boat and refraction once pool ray-sorting landed (round 5);
+# overridable for experiments via PT_SHORTLIST_FETCH.
+FETCH_DEFAULT = int(os.environ.get("PT_SHORTLIST_FETCH", "2"))
+
+# Debug: write each block's shortlist round count into output row 7
+# (read it as out[:, 7, 0] per block via _shortlist_pallas_raw).
+_DEBUG_ROUNDS = os.environ.get("PT_SHORTLIST_DEBUG_ROUNDS", "0") == "1"
 
 EPS_TRI = 1e-8  # ray-triangle-intersection.wgsl:5
 _INF = jnp.inf
 _BIG_F = 3.0e38
 _BIG_ID = 1.0e9  # > any triangle id; ids exact in f32 (< 2^24)
 
-BLOCK = 256  # rays per block (grid step)
+BLOCK = int(os.environ.get("PT_SHORTLIST_BLOCK", "256"))  # rays per block
 CLUSTER = 128  # triangles per cluster row (= lane width)
 
 _COMPS = 15  # v0.xyz e1.xyz e2.xyz id valid n.xyz mat_id
@@ -321,7 +326,7 @@ def _kernel_live(ox, oy, oz, dx, dy, dz, best_t0, t0_cut,
 
     key0 = improvable_key(best_t0, visited0)
     go0 = jnp.isfinite(jnp.min(key0))
-    best_t, best_id, attrs, _, _, _, _ = jax.lax.while_loop(
+    best_t, best_id, attrs, _, _, _, rounds = jax.lax.while_loop(
         cond, body,
         (best_t0, best_id0, attr0, visited0, key0, go0, jnp.int32(0)),
     )
@@ -330,8 +335,12 @@ def _kernel_live(ox, oy, oz, dx, dy, dz, best_t0, t0_cut,
     out_ref[0, 1, :] = best_id.reshape(1, block)[0, :]
     for j in range(n_attrs):  # n.x n.y n.z mat_id
         out_ref[0, 2 + j, :] = attrs[j].reshape(1, block)[0, :]
-    for r in range(2 + n_attrs, 8):
+    for r in range(2 + n_attrs, 7):
         out_ref[0, r, :] = jnp.zeros((1, block))[0, :]
+    if _DEBUG_ROUNDS:
+        out_ref[0, 7, :] = jnp.full((1, block), rounds.astype(jnp.float32))[0, :]
+    else:
+        out_ref[0, 7, :] = jnp.zeros((1, block))[0, :]
 
 
 @functools.partial(

@@ -41,12 +41,20 @@ from pathtracer_tpu.ops.integrator import bounce_core
 _FLUSH_WAYS = 4
 
 # Ray-sort spatial grid resolution per axis (3 bits -> 9-bit Morton cell).
-_SORT_GRID = 8.0
+# Env knobs for perf experiments: PT_SORT_GRID (4/8/16 cells per axis),
+# PT_SORT_ORDER ("cell" = cell-major | "octant" = octant-major).
+import os as _os
+
+_SORT_GRID = float(_os.environ.get("PT_SORT_GRID", "8"))
+_SORT_ORDER = _os.environ.get("PT_SORT_ORDER", "cell")
 
 
-def _spread3(x):
-    """Interleave the low 3 bits of a u32 to bit positions 6, 3, 0."""
-    return ((x & 4) << 4) | ((x & 2) << 2) | (x & 1)
+def _spread3(x, bits: int = 3):
+    """Spread the low ``bits`` bits of a u32 with 2-bit gaps (3D Morton)."""
+    r = x & jnp.uint32(1)
+    for i in range(1, bits):
+        r = r | (((x >> i) & jnp.uint32(1)) << (3 * i))
+    return r
 
 
 def _sort_key(o, d, alive, lo, inv_extent):
@@ -61,11 +69,12 @@ def _sort_key(o, d, alive, lo, inv_extent):
     the integrator; grouping makes those blocks root-test out in one step).
     """
     g = _SORT_GRID
+    bits = max(1, int(g - 1).bit_length())
     cell = jnp.clip((o - lo) * inv_extent * g, 0.0, g - 1.0).astype(jnp.uint32)
     morton = (
-        (_spread3(cell[:, 0]) << 2)
-        | (_spread3(cell[:, 1]) << 1)
-        | _spread3(cell[:, 2])
+        (_spread3(cell[:, 0], bits) << 2)
+        | (_spread3(cell[:, 1], bits) << 1)
+        | _spread3(cell[:, 2], bits)
     )
     octant = (
         (d[:, 0] < 0.0).astype(jnp.uint32) * 4
@@ -73,7 +82,9 @@ def _sort_key(o, d, alive, lo, inv_extent):
         + (d[:, 2] < 0.0).astype(jnp.uint32)
     )
     dead = (~alive).astype(jnp.uint32)
-    return (dead << 13) | (morton << 3) | octant
+    if _SORT_ORDER == "octant":
+        return (dead << (3 * bits + 3)) | (octant << (3 * bits)) | morton
+    return (dead << (3 * bits + 3)) | (morton << 3) | octant
 
 
 def _sort_pool_state(st, lo, inv_extent):
@@ -94,6 +105,7 @@ def _sort_pool_state(st, lo, inv_extent):
         | (st["alive"].astype(jnp.uint32) << 8)
         | (st["holding"].astype(jnp.uint32) << 9)
         | (st["spec"].astype(jnp.uint32) << 10)
+        | (st["chunk_left"] << 11)
     )
     ops = jax.lax.sort(
         (
@@ -102,24 +114,27 @@ def _sort_pool_state(st, lo, inv_extent):
             st["d"][:, 0], st["d"][:, 1], st["d"][:, 2],
             st["beta"][:, 0], st["beta"][:, 1], st["beta"][:, 2],
             st["radiance"][:, 0], st["radiance"][:, 1], st["radiance"][:, 2],
+            st["acc"][:, 0], st["acc"][:, 1], st["acc"][:, 2],
             st["pixel"], st["sample"], flags,
         ),
         num_keys=1,
     )
-    (_, ox, oy, oz, dx, dy, dz, bx, by, bz, rx, ry, rz, pixel, sample,
-     flags) = ops
+    (_, ox, oy, oz, dx, dy, dz, bx, by, bz, rx, ry, rz, ax, ay, az,
+     pixel, sample, flags) = ops
     return dict(
         st,
         o=jnp.stack([ox, oy, oz], axis=-1),
         d=jnp.stack([dx, dy, dz], axis=-1),
         beta=jnp.stack([bx, by, bz], axis=-1),
         radiance=jnp.stack([rx, ry, rz], axis=-1),
+        acc=jnp.stack([ax, ay, az], axis=-1),
         pixel=pixel,
         sample=sample,
         depth=(flags & jnp.uint32(0xFF)).astype(jnp.int32),
         alive=(flags >> 8) & 1 == 1,
         holding=(flags >> 9) & 1 == 1,
         spec=(flags >> 10) & 1 == 1,
+        chunk_left=flags >> 11,
     )
 
 
@@ -147,6 +162,17 @@ def _morton_pixel(p, width: int):
     x = _compact_bits(p)
     y = _compact_bits(p >> jnp.uint32(1))
     return y * jnp.uint32(width) + x
+
+
+def pool_ids_total(settings, n_pixels: int, rays_per_pixel: int) -> int:
+    """Size of the pool's padded pixel-major global ray-id space.
+
+    Sharding/denominator callers must slice THIS space (in K-aligned
+    slices, K = settings.spawn_chunk) — slicing the raw path count
+    n_pixels * rays_per_pixel under- or mis-covers when K > 1.
+    """
+    k = max(1, settings.spawn_chunk)
+    return n_pixels * (-(-rays_per_pixel // k) * k)
 
 
 def _spawn_order_morton(settings, n_pixels: int) -> bool:
@@ -179,42 +205,70 @@ def render_pool(
     """Trace ``n_pixels * rays_per_pixel`` paths -> (image [P, 3] radiance sum,
     rays_traced, iterations).
 
-    Ray ids are sample-major: id = sample * P + pixel, so any contiguous id
-    range covers whole sample waves first — matching the scan renderer's
-    progressive order for checkpointing. ``sample_offset`` shifts the sample
-    indices so chunked/resumed renders reproduce the straight-through result.
+    Ray-id space (round 5): **pixel-major, chunk-padded**. With K =
+    ``settings.spawn_chunk`` and spp_pad = ceil(rays_per_pixel / K) * K,
+    id = pixel * spp_pad + sample_local; ids with sample_local >=
+    rays_per_pixel are padding holes (never traced). A lane spawn claims a
+    whole K-id chunk (one pixel, K consecutive samples), re-aims itself
+    in place as each path finishes, and flushes ONE accumulated image row
+    per chunk — the flush scatter is row-count bound (~67 M rows/s), so
+    chunking divides its cost by ~K. ``sample_offset`` shifts the sample
+    indices so chunked/resumed renders reproduce the straight-through
+    result.
 
     Sharding hooks (parallel.render.render_pool_sharded): the pool can own
-    an arbitrary slice of the global ray-id space. ``n_ids`` (static) is the
-    slice length (default: all ids), ``id_offset`` (traced u32, e.g. derived
-    from ``lax.axis_index``) shifts local ids to global ones, and
-    ``id_limit`` (traced u32) caps the count actually spawned (for a ragged
-    final slice). Because all randomness is counter-based on the *global*
-    (pixel, sample), per-path radiance is bit-identical however the id space
-    is sliced.
+    a slice of the global (padded) id space. ``n_ids`` (static) is the
+    slice length, ``id_offset`` (traced u32) shifts local ids to global
+    ones and MUST be a multiple of K (use ``pool_ids_total`` /
+    K-aligned per-device slices), and ``id_limit`` (traced u32) caps the
+    padded-id count for a ragged final slice. All randomness is
+    counter-based on the *global* (pixel, sample), so per-path radiance is
+    bit-identical however the id space is sliced or chunked.
     """
-    total = n_ids if n_ids is not None else n_pixels * rays_per_pixel
+    k_chunk = max(1, settings.spawn_chunk)
+    spp_pad = -(-rays_per_pixel // k_chunk) * k_chunk
+    total = n_ids if n_ids is not None else n_pixels * spp_pad
     limit = jnp.uint32(total if id_limit is None else id_limit)
     offset = jnp.uint32(0 if id_offset is None else id_offset)
-    b = min(batch, total)
+    num_chunks = -(-total // k_chunk)
+    b = min(batch, num_chunks)
     b += (-b) % _FLUSH_WAYS  # W-way flush groups; extra lanes stay idle
 
     morton = _spawn_order_morton(settings, n_pixels)
 
-    def spawn(ray_ids, active):
-        """Camera rays for [B] *local* ray ids (masked by ``active``)."""
-        gids = ray_ids + offset
-        pixel = (gids % n_pixels).astype(jnp.uint32)
+    def chunk_info(start_ids):
+        """(pixel, first sample, valid path count) for [B] chunk-start ids
+        (local, multiples of K)."""
+        gids = start_ids + offset
+        pixel = (gids // jnp.uint32(spp_pad)).astype(jnp.uint32)
+        s_local = (gids % jnp.uint32(spp_pad)).astype(jnp.uint32)
         if morton:
             pixel = _morton_pixel(pixel, settings.width)
-        sample = (gids // n_pixels).astype(jnp.uint32) + jnp.uint32(sample_offset)
-        jitter = rng.pixel_jitter(settings, pixel, sample)
-        o, d = generate_rays(frame, settings.width, settings.height, pixel, jitter)
-        return pixel, sample, o, d
+        sample = s_local + jnp.uint32(sample_offset)
+        # Valid samples in this chunk: within the pixel's real spp and
+        # within the LOCAL slice limit (``limit`` caps local ids, matching
+        # the spawn counter; i32 math — u32 would underflow on beyond-limit
+        # lanes; id spaces stay far below 2^31).
+        count = jnp.clip(
+            jnp.minimum(
+                jnp.int32(rays_per_pixel) - s_local.astype(jnp.int32),
+                limit.astype(jnp.int32) - start_ids.astype(jnp.int32),
+            ),
+            0,
+            k_chunk,
+        ).astype(jnp.uint32)
+        return pixel, sample, count
 
-    # Initial fill: lanes take ids 0..b-1.
-    ids0 = jnp.arange(b, dtype=jnp.uint32)
-    pixel, sample, o, d = spawn(ids0, None)
+    def cam(pixel, sample):
+        jitter = rng.pixel_jitter(settings, pixel, sample)
+        return generate_rays(
+            frame, settings.width, settings.height, pixel, jitter
+        )
+
+    # Initial fill: lanes take chunks 0..b-1.
+    ids0 = jnp.arange(b, dtype=jnp.uint32) * jnp.uint32(k_chunk)
+    pixel, sample, count0 = chunk_info(ids0)
+    o, d = cam(pixel, sample)
 
     # Inits must be *data-dependent* on the (possibly shard_map-varying)
     # ray state so the while_loop carry in/out types match — constant
@@ -228,14 +282,16 @@ def render_pool(
         d=d,
         beta=zero3 + 1.0,
         radiance=zero3,
-        alive=ids0 < limit,
+        acc=zero3,
+        alive=count0 > 0,
         holding=zero != 0.0,
         spec=zero != 0.0,
         pixel=pixel,
         sample=sample,
         depth=zero.astype(jnp.int32),
+        chunk_left=count0,
         image=jnp.zeros((n_pixels, 3), jnp.float32) + zero3[0] * 0.0,
-        next_id=jnp.uint32(b) + vary_u32,
+        next_id=jnp.uint32(b * k_chunk) + vary_u32,
         n_rays=jnp.sum(zero),
         iters=jnp.int32(0) + vary_u32.astype(jnp.int32),
     )
@@ -290,6 +346,22 @@ def render_pool(
         # Depth cap (reference: while depth <= 16 -> max_depth bounces).
         alive = alive & (depth < settings.max_depth)
 
+        # A lane whose path ended but whose chunk has samples left re-aims
+        # itself in place (same pixel, next sample) — its path radiance
+        # folds into the lane's chunk accumulator and no flush row is
+        # consumed. Only chunk completion holds. The per-channel clamp is
+        # applied PER PATH at fold time, exactly as the reference
+        # accumulator does per sample (program-raymarch.ts:283-285) — a
+        # per-chunk clamp would let one path's negative channel cancel
+        # another's positive one.
+        died = st["alive"] & ~alive
+        cont = died & (st["chunk_left"] > 1)
+        finished = died & ~cont
+        acc = st["acc"] + jnp.where(
+            died[:, None], jnp.maximum(radiance, 0.0), 0.0
+        )
+        radiance = jnp.where(died[:, None], 0.0, radiance)
+
         # Terminated lanes *hold* their finished path until flushed. The
         # image scatter-add is row-count bound on TPU (~67 M rows/s
         # measured on v5e, regardless of target size or how many rows are
@@ -299,15 +371,13 @@ def render_pool(
         # at ~0.28/iter, i.e. ~0.56 arrivals per pair-iter < 1 slot, so
         # the hold queue drains; an unflushed lane just respawns a little
         # later (measured ~2% extra iterations for a ~2x cheaper flush).
-        holding = st["holding"] | (st["alive"] & ~alive)
+        holding = st["holding"] | finished
         # Group lane i with lanes i + k*B/W (W-way): strided half/quarter
         # slices keep the TPU lane layout intact (a [B] -> [B/W, W] reshape
         # would relayout the 128-wide lane axis and cost more than the
         # scatter saves). The first holding lane of each group flushes.
         group = b // _FLUSH_WAYS
-        rad = jnp.maximum(radiance, 0.0)
-        # Per-channel clamp as in the reference accumulator
-        # (program-raymarch.ts:283-285).
+        rad = acc  # per-path clamp already applied at fold time (above)
         taken = jnp.zeros((group,), bool)
         row_pix = jnp.full((group,), n_pixels, dtype=jnp.uint32)  # drop row
         row_val = jnp.zeros((group, 3), jnp.float32)
@@ -326,27 +396,43 @@ def render_pool(
         selected = jnp.concatenate(sels)
         image = st["image"].at[row_pix].add(row_val, mode="drop")
 
-        # Flushed lanes take fresh ray ids from the global counter.
+        # Flushed lanes take fresh chunk-start ids from the global counter
+        # (which counts ids, advancing K per chunk claimed).
         rank = jnp.cumsum(selected.astype(jnp.uint32)) - 1
-        new_ids = st["next_id"] + rank
+        new_ids = st["next_id"] + rank * jnp.uint32(k_chunk)
         take = selected & (new_ids < limit)
         next_id = jnp.minimum(
-            st["next_id"] + jnp.sum(selected.astype(jnp.uint32)), limit
+            st["next_id"]
+            + jnp.sum(selected.astype(jnp.uint32)) * jnp.uint32(k_chunk),
+            limit,
         )
 
-        n_pixel, n_sample, n_o, n_d = spawn(new_ids, take)
-        sel = take[:, None]
+        n_pixel, n_sample, n_count = chunk_info(new_ids)
+        # One camera-ray generation serves both respawn kinds: fresh
+        # chunks (take) and in-chunk continuations (cont).
+        r_pixel = jnp.where(take, n_pixel, st["pixel"])
+        r_sample = jnp.where(take, n_sample, st["sample"] + 1)
+        r_o, r_d = cam(r_pixel, r_sample)
+
+        resp = take | cont
+        sel = resp[:, None]
         return dict(
-            o=jnp.where(sel, n_o, o),
-            d=jnp.where(sel, n_d, d),
+            o=jnp.where(sel, r_o, o),
+            d=jnp.where(sel, r_d, d),
             beta=jnp.where(sel, 1.0, beta),
-            radiance=jnp.where(sel, 0.0, radiance),
-            alive=alive | take,
+            radiance=radiance,
+            acc=jnp.where(take[:, None], 0.0, acc),
+            alive=alive | resp,
             holding=holding & ~selected,
-            spec=jnp.where(take, False, spec),
-            pixel=jnp.where(take, n_pixel, st["pixel"]),
-            sample=jnp.where(take, n_sample, st["sample"]),
-            depth=jnp.where(take, 0, depth),
+            spec=jnp.where(resp, False, spec),
+            pixel=r_pixel,
+            sample=jnp.where(resp, r_sample, st["sample"]),
+            depth=jnp.where(resp, 0, depth),
+            chunk_left=jnp.where(
+                take,
+                n_count,
+                jnp.where(cont, st["chunk_left"] - 1, st["chunk_left"]),
+            ),
             image=image,
             next_id=next_id,
             n_rays=st["n_rays"] + n,

@@ -276,3 +276,45 @@ def test_pool_sharded_shortlist_intersector(reference_root):
         render_pool_sharded(scene, camera, settings, mesh=make_mesh())
     )
     np.testing.assert_allclose(single, sharded, rtol=3e-5, atol=3e-6)
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_pool_spawn_chunk_matches_unchunked(box, k):
+    """spawn_chunk=K (in-lane accumulation over K samples/pixel, one flush
+    per chunk) must reproduce the K=1 render up to fp accumulation order —
+    including ragged spp (spp % K != 0 exercises the padded id space)."""
+    import dataclasses
+
+    from pathtracer_tpu.render import render
+
+    scene, camera = box
+    base = RenderSettings(
+        width=16, height=16, samples_per_pixel=5, max_depth=4,
+        scheduler="regen",
+    )
+    assert base.samples_per_pixel % k != 0
+    ref = np.asarray(render(scene, camera, base))
+    chunked = np.asarray(
+        render(scene, camera, dataclasses.replace(base, spawn_chunk=k))
+    )
+    np.testing.assert_allclose(ref, chunked, rtol=3e-5, atol=3e-6)
+
+
+def test_pool_sharded_spawn_chunk(box):
+    """Chunked spawning under the mesh: K-aligned per-device id slices."""
+    import dataclasses
+
+    from pathtracer_tpu.parallel.mesh import make_mesh
+    from pathtracer_tpu.parallel.render import render_pool_sharded
+    from pathtracer_tpu.render import render
+
+    scene, camera = box
+    settings = RenderSettings(
+        width=16, height=16, samples_per_pixel=6, max_depth=4,
+        scheduler="regen", spawn_chunk=4,
+    )
+    single = np.asarray(render(scene, camera, settings))
+    sharded = np.asarray(
+        render_pool_sharded(scene, camera, settings, mesh=make_mesh())
+    )
+    np.testing.assert_allclose(single, sharded, rtol=3e-5, atol=3e-6)
