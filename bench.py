@@ -113,6 +113,10 @@ def main():
     )
     p.add_argument("--intersector", default="auto")
     p.add_argument("--scheduler", default="regen", choices=("regen", "scan"))
+    p.add_argument(
+        "--spawn-chunk", type=int, default=None,
+        help="override RenderSettings.spawn_chunk (samples per lane spawn)",
+    )
     shard_group = p.add_mutually_exclusive_group()
     shard_group.add_argument(
         "--sharded", dest="sharded", action="store_true", default=None,
@@ -163,12 +167,16 @@ def main():
         )
     else:
         scene, camera = cornell_box_scene()
+    extra = {}
+    if args.spawn_chunk is not None:
+        extra["spawn_chunk"] = args.spawn_chunk
     settings = RenderSettings(
         width=args.size,
         height=args.size,
         samples_per_pixel=args.spp,
         intersector=args.intersector,
         scheduler=args.scheduler,
+        **extra,
     )
     frame = {
         k: jnp.asarray(v)

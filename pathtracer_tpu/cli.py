@@ -28,7 +28,10 @@ def main(argv=None) -> int:
     p.add_argument(
         "--intersector",
         default="auto",
-        choices=("auto", "brute", "shortlist", "shortlist_pallas", "bvh", "pallas", "cluster"),
+        choices=(
+            "auto", "brute", "small_pallas", "shortlist",
+            "shortlist_pallas", "bvh", "pallas", "cluster",
+        ),
         help="auto = brute sweep for small scenes; above SHORTLIST_MIN_T "
         "triangles the fused Pallas shortlist kernel (TPU) or the XLA "
         "block-shortlist (CPU)",
@@ -52,6 +55,13 @@ def main(argv=None) -> int:
         help="write the tonemapped partial image every N samples "
         "(<out>.preview_NNNN.png) — the reference displays every "
         "accumulated frame (program-raymarch.ts:277-318)",
+    )
+    p.add_argument(
+        "--serve", type=int, default=0, metavar="PORT",
+        help="serve a live auto-refreshing preview of the accumulating "
+        "render at http://127.0.0.1:PORT/ while rendering — the CLI "
+        "equivalent of the reference's per-frame canvas display "
+        "(program-raymarch.ts:317-318)",
     )
     p.add_argument("--sharded", action="store_true", help="shard over all devices")
     p.add_argument(
@@ -115,15 +125,31 @@ def main(argv=None) -> int:
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
 
+    server = None
+    if args.serve:
+        from pathtracer_tpu.utils.preview_server import PreviewServer
+
+        server = PreviewServer(port=args.serve)
+        print(
+            f"live preview: http://127.0.0.1:{server.port}/", file=sys.stderr
+        )
+
     def preview(done_spp, mean):
         import jax
 
         from pathtracer_tpu.ops.tonemap import TONEMAPS
+        from pathtracer_tpu.utils.image import to_uint8
 
-        stem, ext = os.path.splitext(out)
-        path = f"{stem}.preview_{done_spp:04d}{ext or '.png'}"
-        write_png(path, jax.device_get(TONEMAPS[args.tonemap](mean)))
-        print(f"  preview {done_spp} spp -> {path}", file=sys.stderr)
+        img = jax.device_get(TONEMAPS[args.tonemap](mean))
+        if args.preview_png:
+            stem, ext = os.path.splitext(out)
+            path = f"{stem}.preview_{done_spp:04d}{ext or '.png'}"
+            write_png(path, img)
+            print(f"  preview {done_spp} spp -> {path}", file=sys.stderr)
+        if server is not None:
+            server.update(
+                to_uint8(img), done_spp, settings.samples_per_pixel
+            )
 
     t0 = time.perf_counter()
     if args.checkpoint:
@@ -155,11 +181,12 @@ def main(argv=None) -> int:
     else:
         from pathtracer_tpu.render import render_image
 
+        preview_every = args.preview_png or (1 if server is not None else 0)
         img = render_image(
             scene, camera, settings, tonemap=args.tonemap,
             progress_callback=progress,
-            preview_every=args.preview_png,
-            preview_fn=preview if args.preview_png else None,
+            preview_every=preview_every,
+            preview_fn=preview if preview_every else None,
         )
     dt = time.perf_counter() - t0
 
@@ -168,6 +195,14 @@ def main(argv=None) -> int:
 
     write_png(out, img)
     print(f"wrote {out}")
+    if server is not None:
+        from pathtracer_tpu.utils.image import to_uint8
+
+        server.update(
+            to_uint8(img), settings.samples_per_pixel,
+            settings.samples_per_pixel, done=True,
+        )
+        server.close()
     return 0
 
 

@@ -226,11 +226,13 @@ import os as _os
 USE_KERNEL_ATTRS = _os.environ.get("PT_KERNEL_ATTRS", "0") == "1"
 
 # `auto` switches from the brute sweep to the block-shortlist intersector at
-# this padded triangle count. Measured on TPU v5e (262k-ray waves): at 2.3k
-# tris shortlist ~matches brute (win on coherent waves, loss on scrambled);
-# at 12.7k tris it wins 2-6x. The crossover sits between; 4096 is the first
-# power-of-two safely past the measured tie.
-SHORTLIST_MIN_T = 4096
+# this padded triangle count. Re-measured round 5 on TPU v5e END-TO-END with
+# the sorted pool + fetch=2 Pallas kernel: refraction (2560 padded tris)
+# renders 4.7 s shortlist_pallas vs 5.8 s brute, while glossy (1152) stays
+# faster on brute (3.2 s vs 3.6 s) — the crossover sits between; 2048
+# routes refraction to the kernel and keeps glossy on the sweep
+# (docs/PERF_NOTES.md round-5 crossover table).
+SHORTLIST_MIN_T = 2048
 
 
 def resolve_intersector(settings, scene) -> str:
