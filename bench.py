@@ -264,7 +264,6 @@ def main():
     if do_sharded is None:
         do_sharded = args.scene == "cornell" and args.scheduler == "regen"
     if do_sharded:
-        from pathtracer_tpu.ops.wavefront import render_pool
         from pathtracer_tpu.parallel.render import render_pool_sharded_stats
 
         n_dev = jax.device_count()
@@ -279,46 +278,47 @@ def main():
         rps_total = float(rays_s) / dt_s
         per_dev = rps_total / n_dev
 
-        # Weak-scaling denominator: ONE device running exactly the work of
-        # shard 0 (the first ceil(total/n_dev) ray ids) at the sharded run's
-        # per-device batch, measured identically. On a 1-chip host this is
-        # the same configuration as the sharded run, so efficiency sits at
-        # ~1.0 by construction; on a pod, deviations measure communication
-        # and load imbalance — not batch-shape effects — which is what the
-        # >=0.85 BASELINE.json gate is supposed to read.
-        from pathtracer_tpu.ops.wavefront import pool_ids_total
+        # Weak-scaling denominator through the SAME code path: a 1-device
+        # mesh running ~1/n_dev of the work (ceil(spp / n_dev) samples).
+        # On a 1-chip host that is the sharded run itself, so efficiency
+        # is 1.0 by construction; on a pod, deviations measure
+        # communication and load imbalance. (A plain-jit denominator is
+        # NOT comparable: the shard_map-wrapped pool compiles measurably
+        # faster than the identical-work plain pool — ~12% on v5e,
+        # docs/PERF_NOTES.md round 5 — so cross-code-path ratios read as
+        # fake super-efficiency.)
+        if n_dev == 1:
+            denom_rps = per_dev
+        else:
+            import dataclasses
 
-        k_chunk = max(1, settings.spawn_chunk)
-        per_dev_ids = -(-pool_ids_total(settings, n_pixels, args.spp) // n_dev)
-        per_dev_ids = -(-per_dev_ids // k_chunk) * k_chunk
+            from pathtracer_tpu.parallel.mesh import make_mesh
 
-        def run_denom():
-            img, n_rays, _ = render_pool(
-                scene,
-                frame,
-                settings,
-                n_pixels=n_pixels,
-                batch=min(settings.batch_size, per_dev_ids),
-                rays_per_pixel=args.spp,
-                n_ids=per_dev_ids,
+            d_settings = dataclasses.replace(
+                settings, samples_per_pixel=-(-args.spp // n_dev)
             )
-            jax.block_until_ready(img)
-            return float(n_rays)
-
-        denom_rays = run_denom()  # compile
-        dt_d = float("inf")
-        for _ in range(max(1, args.repeat)):
-            t0 = time.perf_counter()
-            run_denom()
-            dt_d = min(dt_d, time.perf_counter() - t0)
-        denom_rps = denom_rays / dt_d
+            mesh1 = make_mesh(jax.devices()[:1])
+            mean_d, rays_d, _ = render_pool_sharded_stats(
+                scene, camera, d_settings, mesh=mesh1
+            )
+            jax.block_until_ready(mean_d)  # compile
+            dt_d = float("inf")
+            for _ in range(max(1, args.repeat)):
+                t0 = time.perf_counter()
+                mean_d, rays_d, _ = render_pool_sharded_stats(
+                    scene, camera, d_settings, mesh=mesh1
+                )
+                jax.block_until_ready(mean_d)
+                dt_d = min(dt_d, time.perf_counter() - t0)
+            denom_rps = float(rays_d) / dt_d
         result["sharded"] = {
             "n_devices": n_dev,
             "rays_per_sec": round(rps_total, 1),
             "rays_per_sec_per_device": round(per_dev, 1),
             "single_device_same_work_rays_per_sec": round(denom_rps, 1),
-            # Weak-scaling efficiency (fixed work per device): per-device
-            # sharded throughput vs the same-work single-device pool.
+            # Weak-scaling efficiency (fixed work per device, same code
+            # path): per-device sharded throughput vs a 1-device mesh
+            # running a 1/n_dev-work slice.
             "efficiency": round(per_dev / denom_rps, 3),
         }
 
