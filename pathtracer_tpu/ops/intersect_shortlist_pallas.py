@@ -49,7 +49,10 @@ _INF = jnp.inf
 _BIG_F = 3.0e38
 _BIG_ID = 1.0e9  # > any triangle id; ids exact in f32 (< 2^24)
 
-BLOCK = int(os.environ.get("PT_SHORTLIST_BLOCK", "256"))  # rays per block
+BLOCK = int(os.environ.get("PT_SHORTLIST_BLOCK", "128"))  # rays per block
+# 128 measured best with the sorted pool (round 5): tighter per-block
+# cluster unions beat the halved fixed-cost amortization of 256/512
+# (boat 8.6 vs 8.3 Mray/s, refraction 4.4 vs 4.7 s with grid 16).
 CLUSTER = 128  # triangles per cluster row (= lane width)
 
 _COMPS = 15  # v0.xyz e1.xyz e2.xyz id valid n.xyz mat_id

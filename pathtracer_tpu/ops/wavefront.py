@@ -40,12 +40,13 @@ from pathtracer_tpu.ops.integrator import bounce_core
 # throttle completions and inflate the iteration count instead.
 _FLUSH_WAYS = 4
 
-# Ray-sort spatial grid resolution per axis (3 bits -> 9-bit Morton cell).
+# Ray-sort spatial grid resolution per axis (16 -> 12-bit Morton cell;
+# measured best with 128-ray blocks on both boat and refraction, round 5).
 # Env knobs for perf experiments: PT_SORT_GRID (4/8/16 cells per axis),
 # PT_SORT_ORDER ("cell" = cell-major | "octant" = octant-major).
 import os as _os
 
-_SORT_GRID = float(_os.environ.get("PT_SORT_GRID", "8"))
+_SORT_GRID = float(_os.environ.get("PT_SORT_GRID", "16"))
 _SORT_ORDER = _os.environ.get("PT_SORT_ORDER", "cell")
 
 
