@@ -145,6 +145,15 @@ def main():
     )
     args = p.parse_args()
 
+    # Persistent compilation cache: the remote TPU compile service behind
+    # the tunnel is intermittently slow (observed multi-minute stalls for
+    # already-seen programs); caching compiled executables next to the repo
+    # makes repeat bench runs start in seconds.
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+
     import jax
     import jax.numpy as jnp
 

@@ -59,8 +59,9 @@ def _spread3(x, bits: int = 3):
 
 
 def _sort_key(o, d, alive, lo, inv_extent):
-    """[B] u32 coherence key: dead-grouping bit | 9-bit Morton cell of the
-    ray origin (scene-AABB-normalized 8^3 grid) | 3-bit direction octant.
+    """[B] u32 coherence key: dead-grouping bit | Morton cell of the ray
+    origin (scene-AABB-normalized _SORT_GRID^3 grid; 16^3 default -> 12
+    bits) | 3-bit direction octant.
 
     Lanes sorted by this key land in 256-ray blocks whose rays share both
     a spatial cell and a direction octant — exactly the coherence the
