@@ -130,10 +130,12 @@ class RenderSettings:
     # Samples per lane spawn in the regenerative pool: a lane draws a
     # (pixel, K-sample) chunk, accumulates the K paths in-lane, and
     # flushes ONE image row per chunk — cutting the row-count-bound flush
-    # scatter ~Kx. 1 = one path per spawn (legacy). The global counter
-    # still balances work across chunks. Per-path radiance is unchanged
-    # (counter RNG); only fp accumulation order differs.
-    spawn_chunk: int = 1
+    # scatter ~Kx. 0 = auto (K=4 when the workload leaves >= 16 chunks of
+    # work-stealing slack per lane, else 1 — measured +23% at spp1024,
+    # -17% at spp16; ops.wavefront.resolve_spawn_chunk). The global
+    # counter still balances work across chunks. Per-path radiance is
+    # unchanged (counter RNG); only fp accumulation order differs.
+    spawn_chunk: int = 0
     # Rays per device batch (pixels*samples are chunked to this).
     batch_size: int = 1 << 18
 

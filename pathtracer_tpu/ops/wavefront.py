@@ -166,14 +166,31 @@ def _morton_pixel(p, width: int):
     return y * jnp.uint32(width) + x
 
 
+def resolve_spawn_chunk(settings, n_pixels: int, rays_per_pixel: int) -> int:
+    """Concrete samples-per-spawn K for this workload (resolving auto = 0).
+
+    Chunked spawning trades flush-scatter rows (divided by K) for
+    work-stealing slack (the global counter balances chunks, not paths).
+    Measured on v5e (cornell 512^2): at spp16 (4 chunks/lane) K=4 LOSES
+    23.6 -> 115/138 Mray/s to the static-assignment tail; at spp1024
+    (256 chunks/lane) K=4 WINS 197 -> 243 Mray/s. Auto draws the line at
+    >= 16 chunks/lane of slack.
+    """
+    if settings.spawn_chunk != 0:
+        return max(1, settings.spawn_chunk)
+    total = n_pixels * rays_per_pixel
+    batch = min(settings.batch_size, total)
+    return 4 if total >= 16 * 4 * batch else 1
+
+
 def pool_ids_total(settings, n_pixels: int, rays_per_pixel: int) -> int:
     """Size of the pool's padded pixel-major global ray-id space.
 
     Sharding/denominator callers must slice THIS space (in K-aligned
-    slices, K = settings.spawn_chunk) — slicing the raw path count
+    slices, K = resolve_spawn_chunk(...)) — slicing the raw path count
     n_pixels * rays_per_pixel under- or mis-covers when K > 1.
     """
-    k = max(1, settings.spawn_chunk)
+    k = resolve_spawn_chunk(settings, n_pixels, rays_per_pixel)
     return n_pixels * (-(-rays_per_pixel // k) * k)
 
 
@@ -227,7 +244,7 @@ def render_pool(
     counter-based on the *global* (pixel, sample), so per-path radiance is
     bit-identical however the id space is sliced or chunked.
     """
-    k_chunk = max(1, settings.spawn_chunk)
+    k_chunk = resolve_spawn_chunk(settings, n_pixels, rays_per_pixel)
     spp_pad = -(-rays_per_pixel // k_chunk) * k_chunk
     total = n_ids if n_ids is not None else n_pixels * spp_pad
     limit = jnp.uint32(total if id_limit is None else id_limit)

@@ -61,12 +61,12 @@ def sample_wave_sharded(scene: Scene, frame, settings: RenderSettings, sample_id
 @functools.partial(jax.jit, static_argnames=("settings", "mesh"))
 def _pool_sharded(scene: Scene, frame, settings: RenderSettings, mesh):
     """Regenerative pool over the mesh -> (image sum [HW, 3], rays, iters)."""
-    from pathtracer_tpu.ops.wavefront import pool_ids_total
+    from pathtracer_tpu.ops.wavefront import pool_ids_total, resolve_spawn_chunk
 
     n_pixels = settings.width * settings.height
     # Slice the pool's padded pixel-major id space in K-aligned chunks so
     # no spawn chunk spans a device boundary (ops.wavefront.render_pool).
-    k = max(1, settings.spawn_chunk)
+    k = resolve_spawn_chunk(settings, n_pixels, settings.samples_per_pixel)
     total = pool_ids_total(settings, n_pixels, settings.samples_per_pixel)
     per_dev = -(-total // mesh.size)  # ceil; ragged tail masked by id_limit
     per_dev = -(-per_dev // k) * k
