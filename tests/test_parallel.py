@@ -318,3 +318,25 @@ def test_pool_sharded_spawn_chunk(box):
         render_pool_sharded(scene, camera, settings, mesh=make_mesh())
     )
     np.testing.assert_allclose(single, sharded, rtol=3e-5, atol=3e-6)
+
+
+def test_resolve_spawn_chunk_auto_rule():
+    """Auto chunking engages only with >= 16 chunks/lane of stealing slack
+    (measured crossover, docs/PERF_NOTES.md round 5)."""
+    from pathtracer_tpu.ops.wavefront import (
+        pool_ids_total,
+        resolve_spawn_chunk,
+    )
+
+    auto = RenderSettings(spawn_chunk=0)
+    # 512^2 @ spp16: 4.2M paths vs 16*4*262144 = 16.8M -> stays 1.
+    assert resolve_spawn_chunk(auto, 512 * 512, 16) == 1
+    # 512^2 @ spp1024: 268M paths -> chunks.
+    assert resolve_spawn_chunk(auto, 512 * 512, 1024) == 4
+    # Explicit settings pass through.
+    assert resolve_spawn_chunk(RenderSettings(spawn_chunk=8), 64, 4) == 8
+    assert resolve_spawn_chunk(RenderSettings(spawn_chunk=1), 512 * 512, 1024) == 1
+    # Padded id space is consistent with the resolved K.
+    st = RenderSettings(spawn_chunk=0)
+    assert pool_ids_total(st, 512 * 512, 1022) == 512 * 512 * 1024  # pad to 4
+    assert pool_ids_total(st, 512 * 512, 16) == 512 * 512 * 16  # K = 1
