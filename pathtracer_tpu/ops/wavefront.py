@@ -175,12 +175,20 @@ def resolve_spawn_chunk(settings, n_pixels: int, rays_per_pixel: int) -> int:
     23.6 -> 115/138 Mray/s to the static-assignment tail; at spp1024
     (256 chunks/lane) K=4 WINS 197 -> 243 Mray/s. Auto draws the line at
     >= 16 chunks/lane of slack.
+
+    Short-path regimes (directLightingOnly, or rr continuation <= 0.5 so
+    the mean path dies in < 2 bounces) chunk UNCONDITIONALLY: every lane
+    finishes ~every iteration, so the B/4-row flush throttles the whole
+    pool (measured: DLO 0.415 -> 0.131 s, rr=0.1 0.410 -> 0.154 s at
+    spp50) — and near-zero path-length variance removes the
+    static-assignment-tail risk that gates chunking elsewhere.
     """
     if settings.spawn_chunk != 0:
         return max(1, settings.spawn_chunk)
     total = n_pixels * rays_per_pixel
     batch = min(settings.batch_size, total)
-    return 4 if total >= 16 * 4 * batch else 1
+    short_paths = settings.direct_lighting_only or settings.rr_prob <= 0.5
+    return 4 if short_paths or total >= 16 * 4 * batch else 1
 
 
 def pool_ids_total(settings, n_pixels: int, rays_per_pixel: int) -> int:
