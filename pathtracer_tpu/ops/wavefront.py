@@ -188,7 +188,13 @@ def resolve_spawn_chunk(settings, n_pixels: int, rays_per_pixel: int) -> int:
     total = n_pixels * rays_per_pixel
     batch = min(settings.batch_size, total)
     short_paths = settings.direct_lighting_only or settings.rr_prob <= 0.5
-    return 4 if short_paths or total >= 16 * 4 * batch else 1
+    if short_paths or total >= 16 * 4 * batch:
+        return 4
+    # Middle band: K=2 keeps >= 16 chunks/lane of slack and still halves
+    # the flush (cornell spp50: 187 -> 203 Mray/s; spp16 stays K=1).
+    if total >= 16 * 2 * batch:
+        return 2
+    return 1
 
 
 def pool_ids_total(settings, n_pixels: int, rays_per_pixel: int) -> int:

@@ -329,10 +329,17 @@ def test_resolve_spawn_chunk_auto_rule():
     )
 
     auto = RenderSettings(spawn_chunk=0)
-    # 512^2 @ spp16: 4.2M paths vs 16*4*262144 = 16.8M -> stays 1.
+    # 512^2 @ spp16: 4.2M paths vs 16*2*262144 = 8.4M -> stays 1.
     assert resolve_spawn_chunk(auto, 512 * 512, 16) == 1
-    # 512^2 @ spp1024: 268M paths -> chunks.
+    # 512^2 @ spp50: middle band -> K=2.
+    assert resolve_spawn_chunk(auto, 512 * 512, 50) == 2
+    # 512^2 @ spp1024: 268M paths -> K=4.
     assert resolve_spawn_chunk(auto, 512 * 512, 1024) == 4
+    # Short-path regimes chunk regardless of slack (flush-throttle fix).
+    dlo = RenderSettings(spawn_chunk=0, direct_lighting_only=True)
+    assert resolve_spawn_chunk(dlo, 512 * 512, 16) == 4
+    lowp = RenderSettings(spawn_chunk=0, rr_prob=0.1)
+    assert resolve_spawn_chunk(lowp, 512 * 512, 16) == 4
     # Explicit settings pass through.
     assert resolve_spawn_chunk(RenderSettings(spawn_chunk=8), 64, 4) == 8
     assert resolve_spawn_chunk(RenderSettings(spawn_chunk=1), 512 * 512, 1024) == 1
